@@ -1,0 +1,32 @@
+"""Engine configuration.
+
+Reference analogue: the `config` dict of /root/reference/pregel/worker.lua:369-387
+(workers list, pool_size, delayed_push, squash_only, obtain_name, ...) — re-expressed
+as explicit Ray-Data knobs (SURVEY.md §2.7 D4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # Number of vertex partitions. Independent of cluster size (the reference pins
+    # partitions == workers, mpool.lua:294-296; we deliberately do not). At scale
+    # choose ~4× total cores; vid % num_parts == part by construction.
+    num_parts: int = 32
+    # Conversation-bucket count for the edge-materialization groupby.
+    num_buckets: int = 32
+    # Hub split: a partition whose CSR shard exceeds this many edges is split into
+    # contiguous dst-sorted sub-shards that scatter in parallel (out-degree skew).
+    max_edges_per_shard: int = 2_000_000
+    # Name→vid mapping is broadcast (ray.put dict) below this vertex count,
+    # hash-partitioned Dataset.join above it.
+    broadcast_vertex_threshold: int = 2_000_000
+    # BSP loop
+    max_supersteps: int = 200
+    checkpoint_interval: int = 0  # 0 = only final; K = every K supersteps
+    checkpoint_dir: str | None = None
+    # Per-algorithm parameters (damping, tolerance, ...)
+    params: dict = field(default_factory=dict)
