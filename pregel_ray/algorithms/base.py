@@ -1,0 +1,81 @@
+"""Vectorized algorithm protocol for the BSP engine.
+
+The reference's user-extension surface is `compute(vertex)` + combiner +
+aggregators (/root/reference/pregel/worker.lua:369-387, SURVEY.md §2.9).
+Here the fast path is partition-vectorized: an algorithm works on whole
+numpy columns of one partition at a time. The per-vertex API of the
+reference is provided on top by algorithms/compute_api.py.
+
+Contract per superstep S (engine.py):
+  scatter(shard, pmeta, state, ctx)  — runs once per CSR (sub-)shard of the
+      partition; emits (dst_part, cols) message chunks. Must pre-combine
+      within the shard where the semantics allow (the reference's eager
+      combiner, queue.lua:39-52). `cols` must contain "dst" (int64 vids).
+  apply(part, pmeta, state, msgs, ctx) — msgs = concatenated message
+      columns for this partition (deterministic producing-shard order),
+      or None. Returns (new_state, metrics, agg_contrib|None).
+      metrics keys: active, nmsg, m1, m2.
+  should_stop(metrics, superstep) — termination test on globally summed
+      metrics (reference: __in_progress/__messages, master.lua:77-84).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import numpy as np
+
+
+class Algorithm:
+    name = "algorithm"
+    directed = True  # which shard variant to build/load
+
+    # -- lifecycle ---------------------------------------------------------
+    def init(self, part: int, n_local: int, pmeta: dict, ctx: dict):
+        raise NotImplementedError
+
+    def scatter(
+        self, shard: dict, pmeta: dict, state: dict, ctx: dict
+    ) -> Iterable[tuple[int, dict]]:
+        raise NotImplementedError
+
+    def apply(self, part: int, pmeta: dict, state: dict, msgs: dict | None, ctx: dict):
+        raise NotImplementedError
+
+    def should_stop(self, metrics, superstep: int) -> bool:
+        return metrics.active == 0 and metrics.nmsg == 0
+
+    # -- aggregators (merged driver-side between supersteps; the merged dict
+    #    is visible to the NEXT superstep via ctx["agg"] — matches the
+    #    reference's available-in-S+1 contract, README.md:276-279) ---------
+    def merge_agg(self, contribs: list[Any]) -> dict:
+        return {}
+
+    # -- helpers shared by implementations --------------------------------
+    @staticmethod
+    def split_by_dst_part(P: int, dst: np.ndarray, cols: dict) -> list[tuple[int, dict]]:
+        """Group message arrays by destination partition (vectorized)."""
+        if len(dst) == 0:
+            return []
+        dp = (dst % P).astype(np.int64)
+        order = np.argsort(dp, kind="stable")
+        dp_sorted = dp[order]
+        bounds = np.flatnonzero(np.diff(dp_sorted)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(dp_sorted)]))
+        out = []
+        for a, b in zip(starts, ends):
+            idx = order[a:b]
+            chunk = {"dst": dst[idx]}
+            for k, v in cols.items():
+                chunk[k] = v[idx]
+            out.append((int(dp_sorted[a]), chunk))
+        return out
+
+    @staticmethod
+    def combine_by_dst(dst: np.ndarray, vals: np.ndarray, ufunc=np.add):
+        """Sort-free exact combine of (dst, val) pairs → unique dst + folded vals."""
+        order = np.argsort(dst, kind="stable")
+        d, v = dst[order], vals[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(d)) + 1))
+        return d[bounds], ufunc.reduceat(v, bounds)

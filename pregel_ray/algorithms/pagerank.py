@@ -1,0 +1,73 @@
+"""Weighted PageRank, damping 0.85, L1 < 1e-6 convergence.
+
+Semantics (the conformance oracle, tests/test_pagerank.py, mirrors this
+exactly in straight-line NumPy):
+
+    r_0[v]   = 1/N
+    r_s[v]   = (1-d)/N + d * ( Σ_{u→v} r_{s-1}[u] * w(u,v)/W_out(u)
+                               + DM_{s-1}/N )
+    DM_s     = Σ_{u dangling} r_s[u]        (dangling mass, redistributed
+                                             uniformly in the NEXT step's
+                                             formula — i.e. same-iteration
+                                             semantics of standard power
+                                             iteration)
+    stop when Σ_v |r_s - r_{s-1}| < tol  (default 1e-6)
+
+DM flows through engine metrics (m2): apply at superstep s computes the
+per-part dangling sum of the NEW ranks; the driver's metric fold makes
+it global, and superstep s+1 reads it from ctx["prev"]["m2"]. No extra
+barrier — the metric fold rides the superstep barrier that exists
+anyway.
+
+Scatter is one gather + one np.add.reduceat over the dst-sorted shard
+(graph.py layout): map-side combining is structural, matching the
+reference's eager sum-combiner (/root/reference/pregel/queue.lua:39-52).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Algorithm
+
+
+class PageRank(Algorithm):
+    name = "pagerank"
+    directed = True
+
+    def __init__(self, damping: float = 0.85, tol: float = 1e-6, max_iters: int | None = None):
+        self.damping = damping
+        self.tol = tol
+        self.max_iters = max_iters  # fixed-iteration mode when set (tol ignored)
+
+    def init(self, part, n_local, pmeta, ctx):
+        N = ctx["N"]
+        rank = np.full(n_local, 1.0 / N) if N else np.zeros(0)
+        dangling = float(rank[pmeta["out_deg"] == 0].sum()) if n_local else 0.0
+        return {"rank": rank}, {"active": n_local, "m2": dangling}
+
+    def scatter(self, shard, pmeta, state, ctx):
+        contrib = state["rank"][shard["src_local"]] * shard["w_norm"]
+        combined = np.add.reduceat(contrib, shard["seg_starts"]) if len(contrib) else contrib
+        return self.split_by_dst_part(ctx["P"], shard["dst_unique"], {"m": combined})
+
+    def apply(self, part, pmeta, state, msgs, ctx):
+        rank = state["rank"]
+        n = len(rank)
+        N, P, d = ctx["N"], ctx["P"], self.damping
+        recv = np.zeros(n)
+        if msgs is not None and len(msgs["dst"]):
+            # sub-shard cuts can split a dst segment → exact re-combine here
+            dst_u, m_u = self.combine_by_dst(msgs["dst"], msgs["m"])
+            recv[dst_u // P] = m_u
+        dm_prev = ctx["prev"]["m2"]  # global dangling mass of r_{s-1}
+        new_rank = (1.0 - d) / N + d * (recv + dm_prev / N)
+        l1 = float(np.abs(new_rank - rank).sum())
+        dangling = float(new_rank[pmeta["out_deg"] == 0].sum()) if n else 0.0
+        nmsg = int(len(msgs["dst"])) if msgs else 0
+        return {"rank": new_rank}, {"active": n, "nmsg": nmsg, "m1": l1, "m2": dangling}, None
+
+    def should_stop(self, metrics, superstep):
+        if self.max_iters is not None:
+            return superstep >= self.max_iters
+        return metrics.m1 < self.tol

@@ -1,0 +1,186 @@
+"""Triangle counting — a Ray Data join pipeline, not a BSP loop.
+
+Classic two-round distributed algorithm (degree-ordered wedge join;
+SURVEY.md §7.3 step 5):
+
+  1. simple undirected edge set: canonical (lo,hi) pairs, dedup, no
+     self-loops;
+  2. orient each edge from the lower-rank endpoint to the higher, where
+     rank = (degree, vid) — bounds oriented out-degree by ~√E, so the
+     wedge explosion below is O(Σ d_oriented²) ≤ O(E^1.5);
+  3. wedges: for every vertex u, all ordered pairs (v1 < v2) of its
+     oriented neighbors → rows (a=v1, b=v2, center=u);
+  4. join wedges against the oriented edge set on (a, b) — one
+     groupby; a wedge whose (a,b) is an edge closes a triangle
+     {center, a, b};
+  5. per-vertex counts: each closed triangle credits all three corners
+     → groupby(vid).sum.
+
+Everything is map_batches + two groupby shuffles; no driver-side loops.
+The reference has no triangle implementation (SURVEY.md §2.9); the
+north rule requires exact per-vertex counts, tested against a dense
+A²∘A oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _canonical(t: pa.Table) -> pa.Table:
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+
+
+def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+    """edges (src,dst,w; any orientation/dups) → Dataset (vid, triangles).
+
+    Vertices with zero triangles are omitted (join with the vertex table
+    to densify if needed)."""
+    simple = (
+        edges.map_batches(_canonical, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()  # dedup; count column unused
+    )
+
+    # degree per endpoint (of the simple undirected graph)
+    def _endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.int64()), t["b"].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table({"vid": v})
+
+    degrees = (
+        simple.map_batches(_endpoints, batch_format="pyarrow").groupby("vid").count()
+    )  # (vid, count())
+
+    # broadcast degrees (|V| ≪ |E|; for huge V switch to Dataset.join)
+    import ray
+
+    deg_blocks = [b for b in ray.get(degrees.to_arrow_refs()) if b.num_rows]
+    deg_tbl = pa.concat_tables(deg_blocks) if deg_blocks else None
+    if deg_tbl is None:
+        return rd.from_arrow(
+            pa.table({"vid": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())})
+        )
+    dvid = deg_tbl["vid"].to_numpy(zero_copy_only=False)
+    dcnt = deg_tbl["count()"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dvid)
+    deg_ref = ray.put({"vid": dvid[order], "deg": dcnt[order]})
+
+    def _deg_of(vids, lut):
+        return lut["deg"][np.searchsorted(lut["vid"], vids)]
+
+    def _orient(t: pa.Table) -> pa.Table:
+        """(a,b) → directed low-rank → high-rank, rank = (deg, vid)."""
+        import ray as _r
+
+        lut = _r.get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da, db = _deg_of(a, lut), _deg_of(b, lut)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    oriented = simple.map_batches(_orient, batch_format="pyarrow")
+
+    # wedges per center u: all ordered pairs over u's oriented neighbors
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b, outs_c = [], [], []
+        for u, grp in g.groupby("u", sort=False):
+            nb = np.sort(grp["v"].to_numpy())
+            k = len(nb)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            outs_a.append(nb[i])
+            outs_b.append(nb[j])
+            outs_c.append(np.full(len(i), u, dtype=np.int64))
+        if not outs_a:
+            return pd.DataFrame({"a": [], "b": [], "center": []}).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(outs_a),
+                "b": np.concatenate(outs_b),
+                "center": np.concatenate(outs_c),
+            }
+        )
+
+    def _bucket_u(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bk", pa.array((t["u"].to_numpy(zero_copy_only=False) % num_buckets).astype(np.int32))
+        )
+
+    wedges = (
+        oriented.map_batches(_bucket_u, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(_wedges, batch_format="pandas")
+    )
+
+    # join wedges with edges on (a,b): tag and co-group by hashed bucket
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        # wedge pairs are vid-sorted (a<b); key edges canonically to match
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(u, v)),
+                "b": pa.array(np.maximum(u, v)),
+                "center": pa.array(np.full(t.num_rows, -1, np.int64)),
+            }
+        )
+
+    tagged = wedges.union(oriented.map_batches(_tag_edges, batch_format="pyarrow"))
+
+    def _bucket_ab(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        bk = (((a * 1000003) ^ b) % num_buckets).astype(np.int32)
+        return t.append_column("bk", pa.array(bk))
+
+    def _close(g: pd.DataFrame) -> pd.DataFrame:
+        """Wedges whose (a,b) is an edge → 3 credit rows per triangle."""
+        is_edge = g["center"].to_numpy() == -1
+        edges_set = g.loc[is_edge, ["a", "b"]]
+        w = g.loc[~is_edge]
+        if len(edges_set) == 0 or len(w) == 0:
+            return pd.DataFrame({"vid": pd.Series([], dtype=np.int64), "t": []}).astype(
+                {"t": np.int64}
+            )
+        closed = w.merge(edges_set, on=["a", "b"], how="inner")
+        if len(closed) == 0:
+            return pd.DataFrame({"vid": pd.Series([], dtype=np.int64), "t": []}).astype(
+                {"t": np.int64}
+            )
+        vids = np.concatenate(
+            [closed["a"].to_numpy(), closed["b"].to_numpy(), closed["center"].to_numpy()]
+        )
+        out = pd.DataFrame({"vid": vids})
+        out = out.groupby("vid", as_index=False).size().rename(columns={"size": "t"})
+        return out.astype({"vid": np.int64, "t": np.int64})
+
+    credits = (
+        tagged.map_batches(_bucket_ab, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(_close, batch_format="pandas")
+    )
+    return (
+        credits.groupby("vid")
+        .aggregate(Sum("t", alias_name="triangles"))
+    )
+
+
+def triangle_total(per_vertex: rd.Dataset) -> int:
+    s = per_vertex.sum("triangles")
+    return int(s // 3) if s is not None else 0

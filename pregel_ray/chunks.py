@@ -25,6 +25,24 @@ import numpy as np
 _MAGIC = b"PRCH1\n"
 
 
+def pack_obj(objs: list) -> np.ndarray:
+    """Arbitrary-Python payload column: pickled list as a uint8 array
+    (rides through pack/unpack like any fixed-width column). Column names
+    carrying these must end in ``_pkl`` — the engine then concatenates
+    the decoded LISTS across message chunks instead of the raw bytes."""
+    import pickle
+
+    return np.frombuffer(pickle.dumps(objs, protocol=5), dtype=np.uint8)
+
+
+def unpack_obj(arr: np.ndarray) -> list:
+    import pickle
+
+    if len(arr) == 0:
+        return []
+    return pickle.loads(arr.tobytes())
+
+
 def pack(cols: dict[str, np.ndarray]) -> bytes:
     header = {}
     bufs = []

@@ -106,8 +106,12 @@ def derive_pairs(transcripts: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     return pairs.groupby(["src_name", "dst_name"]).aggregate(Sum("w", alias_name="w"))
 
 
-def encode_vertices(pairs: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
-    """Distinct vertex names → (name, part, vid) with partition-aligned ids."""
+def encode_vertices(
+    pairs: rd.Dataset, cfg: EngineConfig, extra_names: list[str] | None = None
+) -> rd.Dataset:
+    """Distinct vertex names → (name, part, vid) with partition-aligned ids.
+
+    ``extra_names`` registers vertices with no incident edges (isolates)."""
     P = cfg.num_parts
 
     def _names(batch: pa.Table) -> pa.Table:
@@ -117,11 +121,10 @@ def encode_vertices(pairs: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
         # batch-local distinct before the global one (map-side combine)
         return pa.table({"name": pc.unique(n)})
 
-    distinct = (
-        pairs.map_batches(_names, batch_format="pyarrow")
-        .groupby("name")
-        .aggregate(Count(alias_name="_n"))  # distinct names (sort-based)
-    )
+    name_src = pairs.map_batches(_names, batch_format="pyarrow")
+    if extra_names:
+        name_src = name_src.union(rd.from_arrow(pa.table({"name": pa.array(extra_names)})))
+    distinct = name_src.groupby("name").aggregate(Count(alias_name="_n"))
 
     def _part(batch: pa.Table) -> pa.Table:
         batch = batch.select(["name"])

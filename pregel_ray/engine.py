@@ -1,0 +1,431 @@
+"""The BSP superstep engine, Ray-Data-native.
+
+One superstep is ONE Ray Data execution (reference superstep loop:
+/root/reference/pregel/master.lua:54-88, re-expressed as a dataset
+pipeline; the `materialize()` is the BSP barrier that `mpool:send_wait`
+provides in the reference, mpool.lua:251-287):
+
+    state (P chunk rows, materialized)
+      → map_batches(scatter)            # gather CSR shard from plasma (zero-copy),
+                                        #   emit per-(shard → dst_part) combined
+                                        #   message chunks   [reference: run_superstep,
+                                        #   worker.lua:140-180 + combiner queue.lua:39-52]
+    state.union(msgs)
+      → groupby("part")                 # THE shuffle — message routing + state
+                                        #   co-location in one exchange
+      → map_groups(apply)               # reduce messages, compute new vertex values,
+                                        #   vote halt, per-part metrics/aggregators
+      → materialize()                   # superstep barrier
+    driver: fold per-part metrics/aggregators (P rows), test termination
+            [reference: master.lua:64-84 aggregator merge + termination]
+
+Vertex state never lives on the driver: it flows between supersteps as a
+Dataset of per-partition chunk rows `{part, kind, shard, active, nmsg,
+m1, m2, agg, blob}` where `blob` packs the partition's named numpy
+columns (chunks.py). Immutable CSR shards are plasma objects loaded once
+by remote tasks (graph.py) and gathered zero-copy inside scatter tasks —
+on a multi-node cluster each node fetches a shard at most once (object
+locality), the Ray-native analogue of the reference's worker-owned
+vertex spaces (worker.lua:417-431).
+
+Messages sent while computing superstep S are delivered in S+1 and
+combined en route; supersteps are numbered from 1; aggregator values
+visible to compute are the previous superstep's merged values — all
+matching the reference contract (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .chunks import pack, unpack, unpack_obj
+from .config import EngineConfig
+from .graph import ShardSet
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("kind", pa.int8()),  # 0 = state, 1 = message chunk
+        ("shard", pa.int32()),  # producing shard gid (msg rows; determinism sort key)
+        ("active", pa.int64()),
+        ("nmsg", pa.int64()),
+        ("m1", pa.float64()),  # algorithm metric (PageRank: L1 delta)
+        ("m2", pa.float64()),  # algorithm metric (PageRank: dangling mass)
+        ("agg", pa.large_binary()),  # pickled per-part aggregator contributions
+        ("blob", pa.large_binary()),  # packed numpy columns (chunks.py)
+    ]
+)
+
+
+@ray.remote(num_cpus=0)
+class _Mailbox:
+    """Per-run metrics/aggregator side-channel: apply tasks post their
+    per-part metrics here so the driver reads them with one actor call
+    instead of a second Dataset execution per superstep. Posts are
+    idempotent by (superstep, part) — task retries are safe."""
+
+    def __init__(self):
+        self.store: dict = {}
+
+    def put(self, superstep: int, part: int, metrics: dict, agg: bytes) -> None:
+        self.store.setdefault(superstep, {})[part] = (metrics, agg)
+
+    def collect(self, superstep: int):
+        return self.store.pop(superstep, {})
+
+
+_ADJ_CACHE: dict = {}  # per-worker-process src-sorted adjacency cache
+
+
+def _part_adjacency(part: int, refs, shards_of_part, n_local_map):
+    """src-sorted (indptr, dst, w) adjacency of one partition, built from its
+    dst-sorted CSR shards on first use and cached in the worker process
+    (workers are long-lived; one sort per part per process, not per
+    superstep). Only the per-vertex compute API needs this layout."""
+    gids = tuple(shards_of_part.get(part, ()))
+    key = (part, gids)
+    hit = _ADJ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = n_local_map.get(part, 0)
+    if not gids:
+        adj = (np.zeros(n + 1, np.int64), np.array([], np.int64), np.array([], np.float64))
+    else:
+        shards = [ray.get(refs[g]) for g in gids]
+        src = np.concatenate([s["src_local"] for s in shards])
+        dst = np.concatenate([s["dst"] for s in shards])
+        w = np.concatenate([s["w"] for s in shards])
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        indptr = np.zeros(n + 1, np.int64)
+        np.add.at(indptr, src + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        adj = (indptr, dst, w)
+    _ADJ_CACHE[key] = adj
+    return adj
+
+
+def _row(part, kind, shard, blob, active=0, nmsg=0, m1=0.0, m2=0.0, agg=b""):
+    return {
+        "part": np.int32(part),
+        "kind": np.int8(kind),
+        "shard": np.int32(shard),
+        "active": np.int64(active),
+        "nmsg": np.int64(nmsg),
+        "m1": np.float64(m1),
+        "m2": np.float64(m2),
+        "agg": agg,
+        "blob": blob,
+    }
+
+
+def _table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return CHUNK_SCHEMA.empty_table()
+    cols = {k: [r[k] for r in rows] for k in CHUNK_SCHEMA.names}
+    return pa.table(
+        {k: pa.array(v, CHUNK_SCHEMA.field(k).type) for k, v in cols.items()},
+        schema=CHUNK_SCHEMA,
+    )
+
+
+@dataclass
+class Metrics:
+    superstep: int
+    active: int = 0
+    nmsg: int = 0
+    m1: float = 0.0
+    m2: float = 0.0
+    duration: float = 0.0
+    rows: int = 0
+
+    def to_dict(self):
+        return self.__dict__.copy()
+
+
+@dataclass
+class RunResult:
+    state: rd.Dataset
+    history: list[Metrics]
+    supersteps: int
+    converged: bool
+    algorithm: Any
+    P: int
+
+    def vertex_table(self, columns: list[str] | None = None) -> rd.Dataset:
+        """Per-vertex result Dataset (vid + state columns)."""
+        return state_to_vertices(self.state, self.P, columns)
+
+
+def state_to_vertices(state: rd.Dataset, P: int, columns: list[str] | None = None) -> rd.Dataset:
+    def _expand(t: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(t.num_rows):
+            part = t["part"][i].as_py()
+            cols = unpack(t["blob"][i].as_py())
+            names = columns or [k for k in cols if not k.startswith("_")]
+            n = len(cols[names[0]]) if names else 0
+            vid = np.arange(n, dtype=np.int64) * P + part
+            d = {"vid": pa.array(vid)}
+            for k in names:
+                d[k] = pa.array(cols[k])
+            outs.append(pa.table(d))
+        if not outs:
+            return pa.table({"vid": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    return state.filter(lambda r: r["kind"] == 0).map_batches(_expand, batch_format="pyarrow")
+
+
+class Engine:
+    """Drives Algorithm instances over a ShardSet (SURVEY.md §2.7 D2 master)."""
+
+    def __init__(self, shardset: ShardSet, cfg: EngineConfig | None = None):
+        self.shards = shardset
+        self.cfg = cfg or EngineConfig(num_parts=shardset.P)
+        assert self.cfg.num_parts == shardset.P
+        # one chunk row per block → P scatter tasks per superstep
+        self._state_blocks = shardset.P
+
+    # -- superstep stage factories (plain functions → stateless Ray tasks that
+    #    reuse warm workers; CSR state is plasma-resident, so actor affinity
+    #    is unnecessary and per-superstep actor-pool relaunch cost is avoided)
+
+    def _make_scatter(self, algorithm, ctx, refs, meta_refs, shards_of_part, shard_rows):
+        def scatter(batch: pa.Table) -> pa.Table:
+            out = []
+            for i in range(batch.num_rows):
+                if batch["kind"][i].as_py() != 0:
+                    continue
+                part = int(batch["part"][i].as_py())
+                state = unpack(batch["blob"][i].as_py())
+                pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
+                for gid in shards_of_part.get(part, []):
+                    shard = ray.get(refs[gid])  # zero-copy plasma views
+                    for dst_part, cols in algorithm.scatter(shard, pmeta, state, ctx):
+                        n = len(cols["dst"])
+                        if n == 0:
+                            continue
+                        out.append(
+                            _row(dst_part, 1, gid, pack(cols), nmsg=n)
+                        )
+            return _table(out)
+
+        return scatter
+
+    def _make_apply(self, algorithm, ctx, meta_refs, refs=None, shards_of_part=None,
+                    mailbox=None):
+        needs_edges = getattr(algorithm, "needs_edges_in_apply", False)
+        n_local_map = dict(self.shards.n_local)
+
+        def apply(group: pa.Table) -> pa.Table:
+            kinds = group["kind"].to_numpy(zero_copy_only=False)
+            state_idx = np.flatnonzero(kinds == 0)
+            assert len(state_idx) == 1, f"expected 1 state row, got {len(state_idx)}"
+            i = int(state_idx[0])
+            part = int(group["part"][i].as_py())
+            state = unpack(group["blob"][i].as_py())
+
+            # deterministic message order: sort chunk rows by producing shard
+            msg_idx = np.flatnonzero(kinds == 1)
+            shards = group["shard"].to_numpy(zero_copy_only=False)
+            msg_idx = msg_idx[np.argsort(shards[msg_idx], kind="stable")]
+            msg_chunks = [unpack(group["blob"][int(j)].as_py()) for j in msg_idx]
+            if msg_chunks:
+                msgs = {}
+                for k in msg_chunks[0]:
+                    if k.endswith("_pkl"):
+                        lst: list = []
+                        for c in msg_chunks:
+                            lst.extend(unpack_obj(c[k]))
+                        msgs["_obj_" + k] = lst
+                    else:
+                        msgs[k] = np.concatenate([c[k] for c in msg_chunks])
+            else:
+                msgs = None
+
+            if needs_edges:
+                ctx["_adj"] = _part_adjacency(part, refs, shards_of_part, n_local_map)
+            pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
+            new_state, metrics, agg = algorithm.apply(part, pmeta, state, msgs, ctx)
+            agg_bytes = pickle.dumps(agg) if agg is not None else b""
+            if mailbox is not None:
+                # synchronous post: guarantees arrival before the barrier
+                ray.get(mailbox.put.remote(ctx["superstep"], part, metrics, agg_bytes))
+            return _table(
+                [
+                    _row(
+                        part, 0, -1, pack(new_state),
+                        active=metrics.get("active", 0),
+                        nmsg=metrics.get("nmsg", 0),
+                        m1=metrics.get("m1", 0.0),
+                        m2=metrics.get("m2", 0.0),
+                        agg=agg_bytes,
+                    )
+                ]
+            )
+
+        return apply
+
+    def _fold_mailbox(self, posted: dict, superstep: int, algorithm) -> tuple[Metrics, dict]:
+        """Fold per-part (metrics, agg) posts — deterministic part order."""
+        m = Metrics(superstep=superstep, rows=len(posted))
+        aggs = []
+        for part in sorted(posted):
+            pm, agg_bytes = posted[part]
+            m.active += int(pm.get("active", 0))
+            m.nmsg += int(pm.get("nmsg", 0))
+            m.m1 += float(pm.get("m1", 0.0))
+            m.m2 += float(pm.get("m2", 0.0))
+            if agg_bytes:
+                aggs.append(pickle.loads(agg_bytes))
+        merged = algorithm.merge_agg(aggs) if aggs else {}
+        return m, merged
+
+    def _collect(self, state: rd.Dataset, superstep: int, algorithm) -> tuple[Metrics, dict]:
+        rows = state.select_columns(
+            ["part", "kind", "active", "nmsg", "m1", "m2", "agg"]
+        ).take_all()
+        rows = sorted((r for r in rows if r["kind"] == 0), key=lambda r: r["part"])
+        m = Metrics(
+            superstep=superstep,
+            active=int(sum(r["active"] for r in rows)),
+            nmsg=int(sum(r["nmsg"] for r in rows)),
+            m1=float(sum(r["m1"] for r in rows)),
+            m2=float(sum(r["m2"] for r in rows)),
+            rows=len(rows),
+        )
+        aggs = [pickle.loads(r["agg"]) for r in rows if r["agg"]]
+        merged = algorithm.merge_agg(aggs) if aggs else {}
+        return m, merged
+
+    def _base_ctx(self, params: dict) -> dict:
+        return {
+            "N": self.shards.n_vertices,
+            "P": self.shards.P,
+            "params": params,
+        }
+
+    def init_state(self, algorithm, params: dict | None = None) -> tuple[rd.Dataset, Metrics, dict]:
+        params = {**self.cfg.params, **(params or {})}
+        ctx = self._base_ctx(params)
+        _, meta_refs = self.shards.load_refs()
+        n_local = self.shards.n_local
+
+        def _init(batch: pa.Table) -> pa.Table:
+            out = []
+            for i in range(batch.num_rows):
+                part = int(batch["id"][i].as_py())
+                pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
+                state, metrics = algorithm.init(part, n_local.get(part, 0), pmeta, ctx)
+                out.append(
+                    _row(
+                        part, 0, -1, pack(state),
+                        active=metrics.get("active", 0),
+                        nmsg=metrics.get("nmsg", 0),
+                        m1=metrics.get("m1", 0.0),
+                        m2=metrics.get("m2", 0.0),
+                    )
+                )
+            return _table(out)
+
+        parts = self.shards.parts()
+        state = (
+            rd.range(self.shards.P, override_num_blocks=min(self.shards.P, 64))
+            .map_batches(_init, batch_format="pyarrow")
+            .materialize()
+        )
+        m, merged = self._collect(state, 0, algorithm)
+        return state, m, merged
+
+    def run(
+        self,
+        algorithm,
+        params: dict | None = None,
+        run_dir: str | None = None,
+        resume: bool = True,
+    ) -> RunResult:
+        import time
+
+        from . import checkpoint as ckpt
+
+        params = {**self.cfg.params, **(params or {})}
+        refs, meta_refs = self.shards.load_refs()
+
+        start = 1
+        state = prev = None
+        history: list[Metrics] = []
+        if run_dir and resume:
+            resumed = ckpt.try_resume(run_dir)
+            if resumed is not None:
+                start, state, history = resumed
+                prev, agg = self._collect(state, start - 1, algorithm)
+                prev = history[-1] if history else prev
+        if state is None:
+            state, prev, agg = self.init_state(algorithm, params)
+            history = [prev]
+            if run_dir:
+                ckpt.write(run_dir, 0, state, history)
+            start = 1
+
+        converged = False
+        mailbox = _Mailbox.remote()
+        s = start - 1
+        for s in range(start, self.cfg.max_supersteps + 1):
+            t0 = time.monotonic()
+            ctx = self._base_ctx(params)
+            ctx.update({"superstep": s, "prev": prev.to_dict(), "agg": agg})
+
+            scatter = self._make_scatter(
+                algorithm, ctx, refs, meta_refs, self.shards.shards_of_part, self.shards.shards
+            )
+            msgs = state.map_batches(scatter, batch_format="pyarrow")
+            apply = self._make_apply(
+                algorithm, ctx, meta_refs, refs, self.shards.shards_of_part, mailbox
+            )
+            new_state = (
+                state.union(msgs)
+                .groupby("part")
+                .map_groups(apply, batch_format="pyarrow")
+                # bound the block count: without this, union+sort double the
+                # blocks every superstep (state blocks + msg blocks) and the
+                # shuffle task matrix grows exponentially with supersteps
+                .repartition(self._state_blocks)
+                .materialize()
+            )
+            # hard lineage cut: rebuild from the materialized blocks so the
+            # next superstep's plan starts at Input — without this the union
+            # branch re-executes the whole superstep history (observed:
+            # duration doubling per superstep from s7 on)
+            new_state = rd.from_arrow_refs(new_state.to_arrow_refs())
+            prev, agg = self._fold_mailbox(
+                ray.get(mailbox.collect.remote(s)), s, algorithm
+            )
+            prev.duration = time.monotonic() - t0
+            history.append(prev)
+            state = new_state
+
+            if run_dir and self.cfg.checkpoint_interval and s % self.cfg.checkpoint_interval == 0:
+                ckpt.write(run_dir, s, state, history)
+            if algorithm.should_stop(prev, s):
+                converged = True
+                break
+
+        if run_dir:
+            ckpt.write(run_dir, s, state, history, final=True)
+        return RunResult(
+            state=state,
+            history=history,
+            supersteps=s,
+            converged=converged,
+            algorithm=algorithm,
+            P=self.shards.P,
+        )

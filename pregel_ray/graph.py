@@ -1,0 +1,237 @@
+"""CSR shard store: per-partition scatter-optimized edge layouts.
+
+Stage 2 of the engine (SURVEY.md §7.3 step 3). Edges are hash-partitioned
+by source (``part = src % P`` — vids are partition-aligned by
+construction, edges.py) and each partition's edge list is compacted into
+a **dst-sorted** layout with precomputed combine segments:
+
+    src_local  int64[E]   src // P  (dense per-part index, gather key)
+    dst        int64[E]   destination vid, ascending
+    w          float64[E] edge weight
+    w_norm     float64[E] w / weighted-out-degree(src)   (PageRank scatter)
+    dst_unique int64[U]   distinct dst in this shard
+    seg_starts int64[U]   reduceat boundaries into the edge arrays
+
+so a full-frontier scatter is one vectorized gather + one
+``np.<ufunc>.reduceat`` — map-side combining is baked into the layout
+(the reference's eager combiner, /root/reference/pregel/queue.lua:39-52,
+done columnar). Per-part vertex meta (``out_deg``, ``out_w``, n_local)
+lives beside the shards.
+
+**Hub splitting** (out-degree skew): a partition whose edge list exceeds
+``cfg.max_edges_per_shard`` is cut into contiguous dst-sorted sub-shards
+that scatter as independent tasks; partial sums for a dst that straddles
+a cut are re-combined at apply. The reference has no skew answer
+(SURVEY.md §4); this is ours.
+
+Shards are persisted as ``.npz`` files (atomic tmp+rename, resumable) and
+loaded into the Ray object store by remote tasks — the arrays never pass
+through the driver; scatter tasks ``ray.get`` them zero-copy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .config import EngineConfig
+
+DIRECTED = "directed"
+UNDIRECTED = "undirected"
+
+
+def symmetrize(edges: rd.Dataset) -> rd.Dataset:
+    """Undirected simple-graph view: both directions, self-loops dropped,
+    weights summed per (src, dst)."""
+    import pyarrow as pa
+
+    def _both(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t["src"], t["dst"]))
+        rev = pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
+        return pa.concat_tables([t.select(["src", "dst", "w"]), rev])
+
+    return (
+        edges.map_batches(_both, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+
+def _build_part_shards(
+    g: pd.DataFrame, *, P: int, n_local_map: dict[int, int], max_edges: int, out_dir: str
+) -> pd.DataFrame:
+    """map_groups body: one src-partition's edges → meta npz + shard npz files.
+
+    Returns manifest rows. Deterministic: edges lexsorted by (dst, src);
+    writes are atomic (tmp + os.replace) so re-runs converge.
+    """
+    part = int(g["part"].iloc[0])
+    src = g["src"].to_numpy(np.int64)
+    dst = g["dst"].to_numpy(np.int64)
+    w = g["w"].to_numpy(np.float64)
+    n_local = n_local_map.get(part, 0)
+
+    order = np.lexsort((src, dst))
+    src, dst, w = src[order], dst[order], w[order]
+    src_local = src // P
+
+    out_w = np.zeros(n_local, np.float64)
+    out_deg = np.zeros(n_local, np.int64)
+    np.add.at(out_w, src_local, w)
+    np.add.at(out_deg, src_local, 1)
+
+    meta_path = os.path.join(out_dir, f"part{part:06d}.meta.npz")
+    _atomic_savez(meta_path, out_deg=out_deg, out_w=out_w)
+
+    w_norm = w / out_w[src_local]  # out_w > 0 wherever a src edge exists
+
+    n_edges = len(src)
+    n_shards = max(1, -(-n_edges // max_edges))
+    rows = []
+    for s in range(n_shards):
+        lo = s * n_edges // n_shards
+        hi = (s + 1) * n_edges // n_shards
+        d = dst[lo:hi]
+        # segment starts: positions where dst changes (d is sorted)
+        if hi > lo:
+            change = np.flatnonzero(np.diff(d)) + 1
+            seg_starts = np.concatenate(([0], change))
+            dst_unique = d[seg_starts]
+        else:
+            seg_starts = np.array([], np.int64)
+            dst_unique = np.array([], np.int64)
+        path = os.path.join(out_dir, f"part{part:06d}_s{s:04d}.npz")
+        _atomic_savez(
+            path,
+            src_local=src_local[lo:hi],
+            dst=d,
+            w=w[lo:hi],
+            w_norm=w_norm[lo:hi],
+            dst_unique=dst_unique,
+            seg_starts=seg_starts.astype(np.int64),
+        )
+        rows.append({"part": part, "shard": s, "n_edges": hi - lo, "path": path})
+    return pd.DataFrame(rows)
+
+
+def _atomic_savez(path: str, **arrays) -> None:
+    tmp = path + f".tmp{os.getpid()}.npz"  # .npz suffix: stop np.savez renaming
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+@ray.remote
+def _load_npz(path: str) -> dict[str, np.ndarray]:
+    """Load a shard/meta file into the object store. Runs as a remote task so
+    the arrays are plasma-resident where the task ran — never on the driver."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+class ShardSet:
+    """A built shard store for one graph variant (directed / undirected)."""
+
+    def __init__(self, shard_dir: str):
+        self.shard_dir = shard_dir
+        with open(os.path.join(shard_dir, "manifest.json")) as f:
+            m = json.load(f)
+        self.P: int = m["P"]
+        self.n_vertices: int = m["n_vertices"]
+        self.n_edges: int = m["n_edges"]
+        self.n_local: dict[int, int] = {int(k): v for k, v in m["n_local"].items()}
+        # manifest order defines the global shard id (determinism anchor)
+        self.shards: list[dict] = m["shards"]
+        self.shards_of_part: dict[int, list[int]] = {}
+        for gid, srow in enumerate(self.shards):
+            self.shards_of_part.setdefault(srow["part"], []).append(gid)
+        self._refs = None
+        self._meta_refs = None
+
+    def load_refs(self):
+        """ObjectRefs for every shard + part meta (idempotent)."""
+        if self._refs is None:
+            self._refs = {gid: _load_npz.remote(s["path"]) for gid, s in enumerate(self.shards)}
+            self._meta_refs = {
+                p: _load_npz.remote(os.path.join(self.shard_dir, f"part{p:06d}.meta.npz"))
+                for p in sorted(self.n_local)
+            }
+        return self._refs, self._meta_refs
+
+    def parts(self) -> list[int]:
+        return sorted(self.n_local)
+
+
+def build_shards(
+    edges: rd.Dataset,
+    vertices: rd.Dataset,
+    shard_dir: str,
+    cfg: EngineConfig,
+    variant: str = DIRECTED,
+) -> ShardSet:
+    """Build (or reuse) the shard store for a graph variant."""
+    manifest_path = os.path.join(shard_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        return ShardSet(shard_dir)
+    os.makedirs(shard_dir, exist_ok=True)
+
+    P = cfg.num_parts
+    # n_local per part from the vertex table (vertices may lack out-edges)
+    nl = vertices.groupby("part").count().to_pandas()
+    n_local_map = dict(zip(nl["part"].astype(int), nl["count()"].astype(int)))
+    n_vertices = int(sum(n_local_map.values()))
+
+    if variant == UNDIRECTED:
+        edges = symmetrize(edges)
+
+    import pyarrow as pa
+
+    def _with_part(t: pa.Table) -> pa.Table:
+        part = (t["src"].to_numpy(zero_copy_only=False) % P).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    manifest_rows = (
+        edges.map_batches(_with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _build_part_shards,
+            batch_format="pandas",
+            fn_kwargs={
+                "P": P,
+                "n_local_map": n_local_map,
+                "max_edges": cfg.max_edges_per_shard,
+                "out_dir": shard_dir,
+            },
+        )
+        .to_pandas()
+    )
+    # parts with vertices but no out-edges still need a meta file
+    seen = set(manifest_rows["part"].astype(int)) if len(manifest_rows) else set()
+    for p, n in n_local_map.items():
+        if p not in seen:
+            _atomic_savez(
+                os.path.join(shard_dir, f"part{p:06d}.meta.npz"),
+                out_deg=np.zeros(n, np.int64),
+                out_w=np.zeros(n, np.float64),
+            )
+    manifest_rows = manifest_rows.sort_values(["part", "shard"], ignore_index=True)
+    manifest = {
+        "P": P,
+        "n_vertices": n_vertices,
+        "n_edges": int(manifest_rows["n_edges"].sum()) if len(manifest_rows) else 0,
+        "n_local": {str(p): int(n) for p, n in sorted(n_local_map.items())},
+        "shards": manifest_rows.to_dict("records"),
+    }
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
+    return ShardSet(shard_dir)

@@ -1,0 +1,131 @@
+"""Reference-conformance: per-vertex compute API running the reference's
+example algorithm (max-value propagation, combiner max, vote-to-halt;
+/root/reference/example/test-worker.lua:25-43, common.lua:23-39)."""
+
+import numpy as np
+import pytest
+
+from pregel_ray import fixtures
+from pregel_ray.algorithms.compute_api import Aggregator, ComputeAlgorithm
+from pregel_ray.config import EngineConfig
+from pregel_ray.engine import Engine
+from pregel_ray.testing import MicroGraph
+
+
+def maxval_compute(v):
+    if v.get_superstep() == 1:
+        for _, dst, _ in v.pairs_edges():
+            v.send_message(dst, v.get_value())
+    else:
+        changed = False
+        for m in v.pairs_messages():
+            if m > v.get_value():
+                v.set_value(m)
+                changed = True
+        if changed:
+            for _, dst, _ in v.pairs_edges():
+                v.send_message(dst, v.get_value())
+    v.set_aggregation("seen_max", v.get_value())
+    v.vote_halt(True)
+
+
+def maxval_oracle(src, dst, init, iters=100):
+    """Fixpoint of directed max propagation."""
+    val = np.array(init, dtype=float)
+    for _ in range(iters):
+        new = val.copy()
+        for s, d in zip(src, dst):
+            if val[s] > new[d]:
+                new[d] = val[s]
+        if np.array_equal(new, val):
+            break
+        val = new
+    return val
+
+
+@pytest.fixture()
+def seeded_values():
+    rng = np.random.default_rng(9)
+    return rng.integers(0, 1000, 64).astype(float)
+
+
+def test_maxval_conformance(ray_session, tmp_path, seeded_values):
+    tbl = fixtures.g_two_cliques_bridge()
+    cfg = EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg)
+    init = seeded_values[: len(g.ids)]
+    vals_by_vid = {int(v): float(init[i]) for i, v in enumerate(g.vid_of)}
+
+    algo = ComputeAlgorithm(
+        compute=maxval_compute,
+        initial_value=lambda vid: vals_by_vid[vid],
+        combiner=max,
+        aggregators={"seen_max": Aggregator(default=-1e18, reduce=max)},
+    )
+    res = Engine(g.shards, cfg).run(algo)
+    assert res.converged, "vote-to-halt termination failed"
+
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+    got = g.result_by_id(vt, "value")
+    e = tbl.to_pandas()
+    want = maxval_oracle(e["src"], e["dst"], init[: len(g.ids)])
+    np.testing.assert_array_equal(got, want)
+    # bridge graph is strongly connected both ways → global max everywhere
+    assert (got == init[: len(g.ids)].max()).all()
+
+
+def test_maxval_directed_line(ray_session, tmp_path):
+    """On 0→1→2→3 the max only flows downstream."""
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+    init = {int(g.vid_of[i]): v for i, v in enumerate([5.0, 9.0, 1.0, 0.0])}
+    algo = ComputeAlgorithm(
+        compute=maxval_compute, initial_value=lambda vid: init[vid], combiner=max,
+        aggregators={"seen_max": Aggregator(default=-1e18, reduce=max)},
+    )
+    res = Engine(g.shards, cfg).run(algo)
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+    got = g.result_by_id(vt, "value")
+    np.testing.assert_array_equal(got, [5.0, 9.0, 9.0, 9.0])
+    assert res.converged
+
+
+def test_vote_to_halt_superstep_count(ray_session, tmp_path):
+    """All vertices halt instantly and send nothing → terminate after the
+    superstep that discovers quiescence (reference master.lua:77-84)."""
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+    algo = ComputeAlgorithm(compute=lambda v: v.vote_halt(True), initial_value=0.0)
+    res = Engine(g.shards, cfg).run(algo)
+    assert res.converged and res.supersteps == 1
+
+
+def test_aggregator_available_next_superstep(ray_session, tmp_path):
+    """Aggregator reads must see the PREVIOUS superstep's merged value
+    (reference README.md:276-279): superstep 1 reads the default, superstep 2
+    reads the sum of superstep 1's contributions."""
+
+    def compute(v):
+        s = v.get_superstep()
+        v.set_aggregation("count", 1)
+        if s == 1:
+            v.set_value(v.get_aggregation("count"))  # default: 0
+        if s == 2:
+            v.set_value(v.get_aggregation("count"))  # merged from s1: 4
+        v.vote_halt(s >= 2)
+
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=2)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+    algo = ComputeAlgorithm(
+        compute=compute,
+        initial_value=-1.0,
+        aggregators={"count": Aggregator(default=0, reduce=lambda a, v: a + v,
+                                         merge=lambda a, b: a + b)},
+    )
+    res = Engine(g.shards, cfg).run(algo)
+    assert res.converged and res.supersteps == 2
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+    assert (vt["value"] == 4).all()

@@ -1,0 +1,84 @@
+"""PageRank engine vs NumPy power-iteration oracle (allclose 1e-6)."""
+
+import numpy as np
+import pytest
+
+from pregel_ray import fixtures
+from pregel_ray.algorithms import PageRank
+from pregel_ray.config import EngineConfig
+from pregel_ray.engine import Engine
+from pregel_ray.testing import MicroGraph
+
+from tests.oracles import pagerank_oracle
+
+
+def run_pagerank(tbl, tmp_path, n_vertices=None, cfg=None, fixed_iters=12, **pr_kwargs):
+    """Fixed-iteration trajectory parity: engine after K supersteps must match
+    the oracle after K power iterations (stronger than fixed-point parity,
+    and fast enough for CI; full convergence covered once below)."""
+    cfg = cfg or EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "shards"), cfg, n_vertices=n_vertices)
+    eng = Engine(g.shards, cfg)
+    res = eng.run(PageRank(max_iters=fixed_iters, **pr_kwargs))
+    vt = res.vertex_table().to_pandas()
+    got = g.result_by_id(vt, "rank")
+    e = tbl.to_pandas()
+    n = n_vertices or int(max(e["src"].max(), e["dst"].max())) + 1
+    want = pagerank_oracle(e["src"], e["dst"], e["w"], n, fixed_iters=fixed_iters)
+    return got, want, res, g
+
+
+@pytest.mark.parametrize(
+    "maker,n",
+    [
+        (fixtures.g_line4, 4),
+        (fixtures.g_cycle3_isolate, 4),
+        (fixtures.g_triangle_plus_tail, None),
+        (fixtures.g_two_cliques_bridge, None),
+    ],
+)
+def test_pagerank_micrographs(ray_session, tmp_path, maker, n):
+    got, want, res, _ = run_pagerank(maker(), tmp_path, n_vertices=n)
+    assert res.supersteps == 12
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_pagerank_hub_split_equals_unsplit(ray_session, tmp_path):
+    """Skew path: forcing sub-shard splits must not change the result."""
+    tbl = fixtures.g_hub()
+    cfg_split = EngineConfig(num_parts=4, max_edges_per_shard=16)
+    got_split, want, _, g = run_pagerank(tbl, tmp_path / "a", cfg=cfg_split)
+    assert any(len(v) > 1 for v in g.shards.shards_of_part.values()), "split not exercised"
+    got_plain, _, _, _ = run_pagerank(tbl, tmp_path / "b")
+    np.testing.assert_allclose(got_split, want, atol=1e-9)
+    np.testing.assert_allclose(got_split, got_plain, atol=0)
+
+
+def test_pagerank_transcript_graph(ray_session, tmp_path, tiny_transcripts):
+    import ray.data as rd
+
+    from pregel_ray.edges import build_graph_tables
+    from pregel_ray.graph import build_shards
+
+    cfg = EngineConfig(num_parts=8, num_buckets=4)
+    gdir = str(tmp_path / "g")
+    build_graph_tables(rd.from_arrow(tiny_transcripts), gdir, cfg)
+    edges = rd.read_parquet(f"{gdir}/edges").materialize()
+    verts = rd.read_parquet(f"{gdir}/vertices").materialize()
+    shards = build_shards(edges, verts, str(tmp_path / "shards"), cfg)
+    res = Engine(shards, cfg).run(PageRank())
+    assert res.converged
+
+    e = edges.to_pandas()
+    vdf = verts.to_pandas().sort_values("vid")
+    # oracle over dense positions: vids are sparse (rank*P+part); remap
+    vids = vdf["vid"].to_numpy()
+    pos = {v: i for i, v in enumerate(vids)}
+    want = pagerank_oracle(
+        e["src"].map(pos).to_numpy(), e["dst"].map(pos).to_numpy(), e["w"], len(vids)
+    )
+    vt = res.vertex_table().to_pandas()
+    got = np.zeros(len(vids))
+    got[[pos[v] for v in vt["vid"]]] = vt["rank"]
+    np.testing.assert_allclose(got, want, atol=1e-6)
