@@ -1,0 +1,148 @@
+"""Headline benchmark: transcript link-graph pipeline at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N,
+   "supersteps": K, "supersteps_per_sec": ..., "edges_per_sec": ...}
+
+`--scaling` runs the same job twice in fresh interpreter sessions
+(num_cpus=8 and num_cpus=32, same input) and prints the two headline
+times plus scaling efficiency — the sandbox substitute for the north
+rule's N vs 4N node clusters (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from pregel_ray.algorithms import PageRank
+    from pregel_ray.algorithms.cc import ConnectedComponents
+    from pregel_ray.algorithms.lpa import LabelPropagation
+    from pregel_ray.algorithms.triangles import triangle_counts, triangle_total
+    from pregel_ray.config import EngineConfig
+    from pregel_ray.edges import build_graph_tables, transcript_columns
+    from pregel_ray.engine import Engine
+    from pregel_ray.fixtures import sf_of_dir, transcripts_path
+    from pregel_ray.graph import DIRECTED, UNDIRECTED, build_shards
+
+    sf = sf_of_dir(sf_dir)
+    t_path = transcripts_path(sf_dir)  # untimed: deterministic input synthesis
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(t_path).count()
+
+    work = f"/tmp/pregel_bench/cpus{num_cpus}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    cfg = EngineConfig(num_parts=max(16, 2 * num_cpus), num_buckets=max(8, num_cpus))
+    times: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    ds = rd.read_parquet(t_path, columns=transcript_columns())
+    meta = build_graph_tables(ds, f"{work}/graph", cfg)
+    edges = rd.read_parquet(f"{work}/graph/edges").materialize()
+    verts = rd.read_parquet(f"{work}/graph/vertices").materialize()
+    shards_d = build_shards(edges, verts, f"{work}/shards_d", cfg, variant=DIRECTED)
+    times["build_graph"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    res = Engine(shards_d, cfg).run(PageRank())
+    times["pagerank"] = time.monotonic() - t0
+    supersteps = res.supersteps
+
+    t0 = time.monotonic()
+    shards_u = build_shards(edges, verts, f"{work}/shards_u", cfg, variant=UNDIRECTED)
+    rcc = Engine(shards_u, cfg).run(ConnectedComponents())
+    times["cc"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    Engine(shards_u, cfg).run(LabelPropagation(max_iters=10))
+    times["lpa"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    pv = triangle_counts(edges, num_buckets=cfg.num_buckets).materialize()
+    tri = triangle_total(pv)
+    times["triangles"] = time.monotonic() - t0
+
+    headline = times["pagerank"]
+    out = {
+        "metric": "pagerank_convergence_sec_l1_1e-6",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_vertices": meta["n_vertices"],
+        "n_edges": meta["n_edges"],
+        "supersteps": supersteps,
+        "supersteps_per_sec": round(supersteps / headline, 3),
+        "edges_per_sec": round(meta["n_edges"] * supersteps / headline, 1),
+        "pagerank_converged": bool(res.converged),
+        "triangle_total": int(tri),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    for n in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "speedup": round(t_lo / t_hi, 3),
+                "scaling_efficiency": round(eff, 3),
+                "edges_per_sec_8": results[lo_cpus]["edges_per_sec"],
+                "edges_per_sec_32": results[hi_cpus]["edges_per_sec"],
+                "supersteps_per_sec_8": results[lo_cpus]["supersteps_per_sec"],
+                "supersteps_per_sec_32": results[hi_cpus]["supersteps_per_sec"],
+                "sf": results[hi_cpus]["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -379,6 +379,11 @@ class Engine:
         converged = False
         mailbox = _Mailbox.remote()
         s = start - 1
+        if s > 0 and algorithm.should_stop(prev, s):
+            # resumed a run that had already terminated — do not over-iterate
+            converged = True
+            return RunResult(state=state, history=history, supersteps=s,
+                             converged=True, algorithm=algorithm, P=self.shards.P)
         for s in range(start, self.cfg.max_supersteps + 1):
             t0 = time.monotonic()
             ctx = self._base_ctx(params)

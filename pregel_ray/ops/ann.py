@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(`ray.put`), every batch does one numpy matmul against it, per-batch
+top-k partials are folded in a tiny final stage (map-side combine: only
+k rows per (query, batch) ever shuffle).
+
+Scale path: IVF — k-means-ish coarse centroids (seeded, fit on a
+sample), vectors bucketed by nearest centroid via ONE groupby; queries
+probe the `nprobe` nearest centroid buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def brute_topk(
+    embeddings: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray, k: int = 10
+) -> rd.Dataset:
+    """→ (query_id, vec_id, cos, rank 1..k) exact top-k by cosine.
+
+    Ties broken by vec_id ascending (deterministic; matches the SQL
+    oracle's ORDER BY cos DESC, vec_id ASC)."""
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put({"q": qn, "ids": np.asarray(query_ids, np.int64)})
+
+    def _partials(t: pa.Table) -> pa.Table:
+        lut = ray.get(q_ref)
+        vecs = _stack(t["embedding"])
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = lut["q"] @ vn.T  # (Q, B)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            rows["query_id"].extend([int(lut["ids"][qi])] * kk)
+            rows["vec_id"].extend(vid[idx].tolist())
+            rows["cos"].extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cos": pa.array(rows["cos"], pa.float64()),
+            }
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        # sort on the ROUNDED similarity (ties → vec_id) so ordering matches
+        # the SQL oracle bit-for-bit
+        g = g.copy()
+        g["cos"] = g["cos"].round(6)
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        embeddings.map_batches(_partials, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def neardup_exact(embeddings: rd.Dataset, threshold: float = 0.95) -> rd.Dataset:
+    """(a, b, cos) exact all-pairs cosine near-dup pairs (a < b).
+
+    The normalized matrix is broadcast once (N×d floats — fine up to a few
+    GB); each batch does one matmul against it and keeps only pairs where
+    its own vec_id is the smaller (no duplicates, no self-pairs). For
+    corpora where N×d no longer fits a worker, use
+    ops.dedup.embedding_near_dups (LSH-bucketed, sub-quadratic)."""
+    all_pd = embeddings.to_pandas()
+    mat = np.stack(all_pd["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = all_pd["vec_id"].to_numpy().astype(np.int64)
+    ref = ray.put({"m": mat, "ids": ids})
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        vecs = _stack(t["embedding"])
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        mine = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = vecs @ lut["m"].T  # (B, N)
+        bi, oj = np.nonzero(sims >= threshold)
+        a = mine[bi]
+        b = lut["ids"][oj]
+        keep = a < b
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "cos": pa.array(np.round(sims[bi, oj][keep], 6)),
+            }
+        )
+
+    return embeddings.map_batches(_pairs, batch_format="pyarrow")
+
+
+def ivf_topk(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 13,
+) -> rd.Dataset:
+    """Approximate top-k: IVF coarse quantizer. Centroids fit driver-side
+    on a bounded sample (seeded k-means, few iterations), then assignment
+    and per-bucket search run distributed. Recall < 1 by design; the
+    brute_topk path is the exactness baseline."""
+    sample = embeddings.random_sample(
+        min(1.0, sample_size / max(1, embeddings.count())), seed=seed
+    ).to_pandas()
+    x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
+    for _ in range(10):  # mini k-means on the sample
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cent_ref = ray.put(cent)
+
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    q_sims = qn @ cent.T
+    probes = np.argsort(-q_sims, axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_of_bucket: dict[int, list[int]] = {}
+    for qi, bs in enumerate(probes):
+        for b in bs:
+            probe_of_bucket.setdefault(int(b), []).append(qi)
+    q_ref = ray.put({"q": qn, "ids": np.asarray(query_ids, np.int64),
+                     "probe_of_bucket": probe_of_bucket})
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _stack(t["embedding"])
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        bucket = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {"vec_id": t["vec_id"], "bucket": pa.array(bucket), "v": pa.array(list(vn))}
+        )
+
+    def _search(g: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(q_ref)
+        b = int(g["bucket"].iloc[0])
+        qis = lut["probe_of_bucket"].get(b, [])
+        if not qis:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64), "cos": []})
+        vecs = np.stack(g["v"].to_numpy())
+        vid = g["vec_id"].to_numpy()
+        sims = lut["q"][qis] @ vecs.T
+        out = {"query_id": [], "vec_id": [], "cos": []}
+        kk = min(k, sims.shape[1])
+        for row, qi in enumerate(qis):
+            idx = np.argpartition(-sims[row], kk - 1)[:kk]
+            out["query_id"].extend([int(lut["ids"][qi])] * kk)
+            out["vec_id"].extend(vid[idx].tolist())
+            out["cos"].extend(sims[row][idx].tolist())
+        return pd.DataFrame(out).astype({"query_id": np.int64, "vec_id": np.int64})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        # sort on the ROUNDED similarity (ties → vec_id) so ordering matches
+        # the SQL oracle bit-for-bit
+        g = g.copy()
+        g["cos"] = g["cos"].round(6)
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        embeddings.map_batches(_assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_search, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+    )

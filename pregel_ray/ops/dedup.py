@@ -1,0 +1,340 @@
+"""Deduplication family for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each expressed Ray-Data-first: vectorized signature
+computation in `map_batches`, candidate generation through ONE
+`groupby` on the bucket key (hash-partitioned, skew-safe because
+signatures are uniform), then per-group verification. No driver-side
+loops; candidate pairs never leave the cluster unverified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+
+# -- exact -----------------------------------------------------------------
+
+def exact_duplicates(docs: rd.Dataset) -> rd.Dataset:
+    """(fp, keep_id, n_dups): groups of byte-identical texts; keep_id =
+    min doc_id of the group (the canonical survivor). SQL-oracle parity:
+    md5 + GROUP BY."""
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"fp": pa.array(fp), "doc_id": t["doc_id"]})
+
+    return (
+        docs.map_batches(_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
+    )
+
+
+def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
+    """The deduplicated document set (first-of-group survivors)."""
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return t.append_column("fp", pa.array(fp))
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    return (
+        docs.map_batches(_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(_first, batch_format="pandas")
+    )
+
+
+# -- shingles / MinHash -----------------------------------------------------
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Stable 64-bit hashes of the k-word shingles of a text."""
+    words = text.split(" ")
+    if len(words) < k:
+        shingles = [" ".join(words)]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    return out
+
+
+class MinHasher:
+    """Stateful stage: permutation parameters generated once per actor
+    (seeded — identical across actors)."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        m = (1 << 61) - 1
+        self.a = rng.integers(1, m, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, m, num_perm, dtype=np.uint64)
+        self.m = np.uint64(m)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k)
+        # (a*h + b) mod m for each permutation, min over shingles
+        vals = (np.outer(h, self.a) + self.b) % self.m
+        return vals.min(axis=0).astype(np.uint64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sigs = np.stack([self.signature(x) for x in t["text"].to_pylist()])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sig": pa.array(list(sigs.astype(np.int64))),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    docs: rd.Dataset, num_perm: int = 64, bands: int = 16, k: int = 3,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """(a, b) candidate near-dup pairs via banded MinHash-LSH:
+    signature → (band_id, band_hash, doc_id) rows → groupby bucket →
+    pairs within bucket → global distinct."""
+    rows_per_band = num_perm // bands
+
+    sigs = docs.map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=1024,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+        concurrency=concurrency,
+    )
+
+    def _bands(t: pa.Table) -> pa.Table:
+        ids, bids, bhs = [], [], []
+        for did, sig in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
+            s = np.asarray(sig, np.uint64)
+            for b in range(bands):
+                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                ids.append(did)
+                bids.append(b)
+                bhs.append(int.from_bytes(bh, "little") >> 1)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "band": pa.array(bids, pa.int32()),
+             "bh": pa.array(bhs, pa.int64())}
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        i, j = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    return (
+        sigs.map_batches(_bands, batch_format="pyarrow")
+        .groupby(["band", "bh"])
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+
+
+def ngram_jaccard_verify(
+    docs: rd.Dataset, candidates: rd.Dataset, k: int = 3, threshold: float = 0.8
+) -> rd.Dataset:
+    """Verify candidate pairs with true k-gram Jaccard. Texts of both pair
+    sides are broadcast as a doc_id→shingle-set lookup (built from the
+    candidate doc ids only — small by construction)."""
+    import ray
+
+    cand = candidates.to_pandas()
+    if len(cand) == 0:
+        return rd.from_items([])
+    needed = set(cand["a"]) | set(cand["b"])
+
+    texts = docs.map_batches(
+        lambda t: t.select(["doc_id", "text"]).filter(
+            pa.compute.is_in(t["doc_id"], value_set=pa.array(list(needed)))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lut = {
+        int(r.doc_id): frozenset(_shingle_hashes(r.text, k).tolist())
+        for r in texts.itertuples()
+    }
+    lut_ref = ray.put(lut)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        jac = np.array(
+            [
+                len(lu[x] & lu[y]) / max(1, len(lu[x] | lu[y]))
+                for x, y in zip(a, b)
+            ]
+        )
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(a)[keep]),
+                "b": pa.array(np.asarray(b)[keep]),
+                "jaccard": pa.array(np.round(jac[keep], 8)),
+            }
+        )
+
+    return rd.from_pandas(cand[["a", "b"]]).map_batches(_verify, batch_format="pyarrow")
+
+
+# -- SimHash ----------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash over word features (stateful stage)."""
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        acc = np.zeros(64, np.int64)
+        for w in text.split(" "):
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hs = [self.simhash(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "simhash": pa.array(np.array(hs, np.uint64).astype(np.int64))}
+        )
+
+
+def simhash_signatures(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+    return docs.map_batches(SimHasher, batch_format="pyarrow", batch_size=2048,
+                            concurrency=concurrency)
+
+
+def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3,
+                      concurrency: int = 2) -> rd.Dataset:
+    """(a, b, hamming) pairs within Hamming distance via 4-block LSH:
+    equal 16-bit block → candidate (any pair ≤3 bits apart shares ≥1 of 4
+    blocks by pigeonhole)."""
+    sigs = simhash_signatures(docs, concurrency)
+
+    def _blocks(t: pa.Table) -> pa.Table:
+        ids, blk, key, sig = [], [], [], []
+        for did, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
+            hu = h & 0xFFFFFFFFFFFFFFFF
+            for b in range(4):
+                ids.append(did)
+                blk.append(b)
+                key.append((hu >> (16 * b)) & 0xFFFF)
+                sig.append(h)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "blk": pa.array(blk, pa.int32()),
+             "key": pa.array(key, pa.int64()), "simhash": pa.array(sig, pa.int64())}
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        i, j = np.triu_indices(len(ids), 1)
+        x = hs[i] ^ hs[j]
+        ham = np.array([bin(v).count("1") for v in x.tolist()])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    return (
+        sigs.map_batches(_blocks, batch_format="pyarrow")
+        .groupby(["blk", "key"])
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+def embedding_near_dups(
+    embeddings: rd.Dataset, threshold: float = 0.95, num_buckets: int = 8
+) -> rd.Dataset:
+    """(a, b, cos) vector pairs with cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH buckets (8-bit codes) cut the
+    quadratic comparison to within-bucket; exactness is traded for the
+    standard LSH recall guarantee. For the test corpus we use enough
+    code bits to keep buckets small, then verify exactly within bucket.
+    Pairs crossing buckets with cos ≥ threshold can be missed only when
+    all hyperplane codes differ — multiply probed via 2 rotations.
+    """
+    import ray
+
+    def _norm(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t["embedding"].to_pandas().to_numpy())
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {"vec_id": t["vec_id"], "v": pa.array(list(vecs.astype(np.float32)))}
+        )
+
+    normed = embeddings.map_batches(_norm, batch_format="pyarrow").materialize()
+    dim = len(normed.take(1)[0]["v"])
+    rng = np.random.default_rng(5)
+    planes = [rng.standard_normal((dim, 8)).astype(np.float32) for _ in range(2)]
+    planes_ref = ray.put(planes)
+
+    def _codes(t: pa.Table) -> pa.Table:
+        pls = ray.get(planes_ref)
+        vecs = np.stack(t["v"].to_pandas().to_numpy())
+        ids, probe, code, vv = [], [], [], []
+        for p_i, pl in enumerate(pls):
+            c = (vecs @ pl > 0) @ (1 << np.arange(8))
+            ids.extend(t["vec_id"].to_pylist())
+            probe.extend([p_i] * t.num_rows)
+            code.extend(c.tolist())
+            vv.extend(list(vecs))
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "probe": pa.array(probe, pa.int32()),
+             "code": pa.array(code, pa.int64()), "v": pa.array(vv)}
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64), "cos": []})
+        vecs = np.stack(g["v"].to_numpy())
+        sims = vecs @ vecs.T
+        i, j = np.triu_indices(len(ids), 1)
+        keep = sims[i, j] >= threshold
+        return pd.DataFrame(
+            {"a": ids[i][keep], "b": ids[j][keep],
+             "cos": np.round(sims[i, j][keep].astype(np.float64), 6)}
+        )
+
+    return (
+        normed.map_batches(_codes, batch_format="pyarrow")
+        .groupby(["probe", "code"])
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Min("cos", alias_name="cos"))
+    )

@@ -1,0 +1,152 @@
+"""Relational demo pipelines over the TPC-H-ish test tables — the
+source/sink + aggregate + join + sort/limit operator surface expressed
+Ray-Data-first, each with an exact DuckDB oracle (driver correctness
+gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style grouped aggregate over lineitem (column-pruned read,
+    vectorized Arrow compute, partial-aggregating groupby)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def _derive(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        t = t.filter(keep)
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+                "l_discount": t["l_discount"],
+            }
+        )
+
+    out = (
+        ds.map_batches(_derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def _scale(t: pa.Table) -> pa.Table:
+        # Comparison-safe integer scaling: inputs have ≤4 decimals, so the
+        # scaled sums are integral and np.rint absorbs the addition-order
+        # float error (≪0.5). Emitting floats here would make the driver's
+        # value-hash sensitive to banker's-vs-half-away rounding ties.
+        def cents(col, scale):
+            return pa.array(
+                np.rint(col.to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+            )
+
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty_c100": cents(t["sum_qty"], 100),
+                "sum_base_price_c100": cents(t["sum_base_price"], 100),
+                "sum_disc_price_c10k": cents(t["sum_disc_price"], 10_000),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return out.map_batches(_scale, batch_format="pyarrow")
+
+
+def top_orders_with_customer(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Top-k orders by totalprice with the customer name attached —
+    broadcast hash join (small side via ray.put) + sort + limit."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet").to_pandas()
+    name_col = "c_name" if "c_name" in cust.columns else cust.columns[1]
+    lut_ref = ray.put(dict(zip(cust["c_custkey"], cust[name_col])))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def _join(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut.get(ck) for ck in t["o_custkey"].to_pylist()]
+        return t.append_column("c_name", pa.array(names, pa.string()))
+
+    return (
+        orders.map_batches(_join, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window aggregate over the events stream table: per
+    (event_type, hour) count + value sum. Windows = truncation →
+    groupby; Ray Data has no watermarks, the table is bounded
+    (SURVEY.md: reference has no streaming constructs either)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def _win(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"], "hour": hour, "value": t["value"]})
+
+    out = (
+        ds.map_batches(_win, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    )
+
+    def _scale(t: pa.Table) -> pa.Table:
+        # integer cents: exact comparison (values have 2 decimals)
+        c = np.rint(t["value_sum"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"event_type": t["event_type"], "hour": t["hour"],
+             "n": t["n"], "value_sum_c100": pa.array(c)}
+        )
+
+    return out.map_batches(_scale, batch_format="pyarrow")
+
+
+def supplier_nation_rollup(sf_dir: str) -> rd.Dataset:
+    """Join supplier→nation→region (two broadcast joins) + rollup counts."""
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    n_lut = ray.put(dict(zip(nation["n_nationkey"], zip(nation["n_name"], nation["n_regionkey"]))))
+    r_lut = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+
+    def _join(t: pa.Table) -> pa.Table:
+        nl, rl = ray.get(n_lut), ray.get(r_lut)
+        nk = t["s_nationkey"].to_pylist()
+        n_name = [nl[x][0] for x in nk]
+        r_name = [rl[nl[x][1]] for x in nk]
+        return pa.table(
+            {"n_name": pa.array(n_name), "r_name": pa.array(r_name)}
+        )
+
+    return (
+        sup.map_batches(_join, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_suppliers"))
+    )

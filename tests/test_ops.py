@@ -1,0 +1,175 @@
+"""Training-data ops vs straight-line oracles on the sf0.001 test tables."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_token_counts(docs_ds, docs_pd):
+    from pregel_ray.ops.text import token_counts
+
+    got = token_counts(docs_ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    want = docs_pd["text"].str.split(" ").map(len)
+    assert (got["n_tokens"].to_numpy() == want.to_numpy()).all()
+
+
+def test_exact_dedup(docs_ds, docs_pd):
+    from pregel_ray.ops.dedup import dedup_exact, exact_duplicates
+
+    groups = exact_duplicates(docs_ds).to_pandas()
+    fp = docs_pd["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    want = (
+        pd.DataFrame({"fp": fp, "doc_id": docs_pd["doc_id"]})
+        .groupby("fp")
+        .agg(keep_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        .reset_index()
+    )
+    got = groups.sort_values("fp", ignore_index=True)
+    want = want.sort_values("fp", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    survivors = dedup_exact(docs_ds).to_pandas()
+    assert sorted(survivors["doc_id"]) == sorted(want["keep_id"])
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session, docs_pd):
+    """Planted byte-identical copies have identical minhash → must appear as
+    candidates and verify at jaccard 1.0; near-copies (one word changed)
+    must verify above 0.7."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+
+    base = docs_pd.head(200).copy()
+    exact = base.head(10).copy()
+    exact["doc_id"] = exact["doc_id"] + 10_000
+    near = base.iloc[10:20].copy()
+    near["doc_id"] = near["doc_id"] + 20_000
+    near["text"] = near["text"].str.replace(r"^\w+", "zzz", n=1, regex=True)
+    docs = rd.from_arrow(pa.Table.from_pandas(pd.concat([base, exact, near]),
+                                              preserve_index=False))
+
+    cand = minhash_lsh_candidates(docs, num_perm=32, bands=8)
+    verified = ngram_jaccard_verify(docs, cand, threshold=0.7).to_pandas()
+    got_pairs = set(zip(verified["a"], verified["b"])) if len(verified) else set()
+    for i in range(10):
+        a = int(base["doc_id"].iloc[i])
+        assert (a, a + 10_000) in got_pairs, f"missed exact dup {a}"
+    exact_rows = verified[verified["b"] - verified["a"] == 10_000]
+    assert len(exact_rows) >= 10 and (exact_rows["jaccard"] == 1.0).all()
+
+
+def test_simhash_identical_zero_distance(docs_ds, docs_pd):
+    from pregel_ray.ops.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(docs_ds, max_hamming=0).to_pandas()
+    fp = docs_pd["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    counts = fp.value_counts()
+    n_dup_pairs = int(sum(c * (c - 1) // 2 for c in counts[counts > 1]))
+    assert len(pairs) >= n_dup_pairs
+
+
+def test_brute_topk_matches_numpy(ray_session, docs_ds):
+    import ray.data as rd
+
+    from pregel_ray.ops.ann import brute_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    epd = emb.to_pandas()
+    mat = np.stack(epd["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q_ids = np.array([0, 1, 2])
+    queries = mat[q_ids]
+
+    got = brute_topk(emb, queries, q_ids, k=5).to_pandas()
+    for qi in q_ids:
+        sims = matn[qi] @ matn.T
+        order = np.lexsort((epd["vec_id"].to_numpy(), -sims))[:5]
+        want_ids = epd["vec_id"].to_numpy()[order]
+        g = got[got["query_id"] == qi].sort_values("rank")
+        np.testing.assert_array_equal(g["vec_id"].to_numpy(), want_ids)
+
+
+def test_ivf_recall_reasonable(ray_session):
+    import ray.data as rd
+
+    from pregel_ray.ops.ann import brute_topk, ivf_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    epd = emb.to_pandas()
+    mat = np.stack(epd["embedding"].to_numpy()).astype(np.float64)
+    q_ids = np.arange(5)
+    exact = brute_topk(emb, mat[q_ids], q_ids, k=10).to_pandas()
+    approx = ivf_topk(emb, mat[q_ids], q_ids, k=10, n_centroids=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in q_ids:
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_near_dups_self(ray_session):
+    """Append exact copies of some vectors; near-dup must find them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import embedding_near_dups
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    dup = tbl.slice(0, 5).set_column(
+        tbl.schema.get_field_index("vec_id"), "vec_id",
+        pa.array(np.arange(100000, 100005, dtype=np.int64)),
+    )
+    ds = rd.from_arrow(pa.concat_tables([tbl, dup]))
+    pairs = embedding_near_dups(ds, threshold=0.999).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    for i in range(5):
+        assert (i, 100000 + i) in found
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from pregel_ray.ops.multimodal import media_features, synth_media
+
+    media = rd.from_arrow(synth_media(48))
+    out = media_features(media, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 48
+    assert out["decoded"].all()
+    assert out["feature"].map(len).eq(16).all()
+    # determinism: same payload → same feature
+    out2 = media_features(rd.from_arrow(synth_media(48)), concurrency=2).to_pandas()
+    a = np.stack(out.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["feature"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_langid_and_quality_run(docs_ds):
+    from pregel_ray.ops.text import langid, quality_scores
+
+    l = langid(docs_ds).to_pandas()
+    q = quality_scores(docs_ds).to_pandas()
+    assert len(l) == len(q) == docs_ds.count()
+    assert l["lang_pred"].notna().all()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
