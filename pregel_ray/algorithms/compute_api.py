@@ -236,6 +236,8 @@ class ComputeAlgorithm(Algorithm):
         halted = state["halted"].copy()
         n = len(halted)
 
+        dead = ctx.get("dead") or frozenset()
+
         # inbox per local vertex
         inbox: dict[int, list] = {}
         nmsg_in = 0
@@ -245,15 +247,18 @@ class ComputeAlgorithm(Algorithm):
             nmsg_in = len(dsts)
             for d, pl in zip(dsts, pls):
                 li = int(d) // P
-                if li < n:
+                if li < n and int(d) not in dead:
                     inbox.setdefault(li, []).append(pl)
-                # else: message to nonexistent vertex → dropped (M3)
+                # else: message to nonexistent/deleted vertex → dropped (M3)
 
         out: list[tuple[int, Any]] = []
         aggs: dict[str, Any] = {}
         muts: list[tuple] = []
         computed = 0
         for li in range(n):
+            if (li * P + part) in dead:
+                halted[li] = 1  # tombstoned: never computes again
+                continue
             mail = inbox.get(li, [])
             # combiner also folds at delivery (reference eager combine)
             if self.combiner is not None and len(mail) > 1:
@@ -284,6 +289,19 @@ class ComputeAlgorithm(Algorithm):
         }
         agg_contrib = {"aggs": aggs, "muts": muts} if (aggs or muts) else None
         return new_state, metrics, agg_contrib
+
+    def extend_state(self, state: dict, new_values: list, part: int) -> dict:
+        """Append state slots for vertices added via add_vertex (engine
+        mutation application). New vertices start active (reference: stored
+        vertices start unhalted)."""
+        vals = _unpack_obj(state["value_pkl"]) + list(new_values)
+        halted = np.concatenate(
+            [state["halted"], np.zeros(len(new_values), np.uint8)]
+        )
+        out = dict(state)
+        out["value_pkl"] = _pack_obj(vals)
+        out["halted"] = halted
+        return out
 
     def merge_agg(self, contribs):
         merged: dict[str, Any] = {}

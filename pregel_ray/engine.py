@@ -36,6 +36,7 @@ matching the reference contract (SURVEY.md §7.1).
 
 from __future__ import annotations
 
+import os
 import pickle
 from dataclasses import dataclass, field
 from typing import Any
@@ -85,13 +86,15 @@ class _Mailbox:
 _ADJ_CACHE: dict = {}  # per-worker-process src-sorted adjacency cache
 
 
-def _part_adjacency(part: int, refs, shards_of_part, n_local_map):
+def _part_adjacency(token: str, part: int, refs, shards_of_part, n_local_map):
     """src-sorted (indptr, dst, w) adjacency of one partition, built from its
     dst-sorted CSR shards on first use and cached in the worker process
     (workers are long-lived; one sort per part per process, not per
-    superstep). Only the per-vertex compute API needs this layout."""
+    superstep). Only the per-vertex compute API needs this layout.
+    ``token`` identifies the shard store epoch — topology mutations rebuild
+    shards into a new directory, invalidating the cache."""
     gids = tuple(shards_of_part.get(part, ()))
-    key = (part, gids)
+    key = (token, part, gids)
     hit = _ADJ_CACHE.get(key)
     if hit is not None:
         return hit
@@ -188,12 +191,19 @@ def state_to_vertices(state: rd.Dataset, P: int, columns: list[str] | None = Non
 class Engine:
     """Drives Algorithm instances over a ShardSet (SURVEY.md §2.7 D2 master)."""
 
-    def __init__(self, shardset: ShardSet, cfg: EngineConfig | None = None):
+    def __init__(self, shardset: ShardSet, cfg: EngineConfig | None = None,
+                 graph_source: dict | None = None):
         self.shards = shardset
         self.cfg = cfg or EngineConfig(num_parts=shardset.P)
         assert self.cfg.num_parts == shardset.P
         # one chunk row per block → P scatter tasks per superstep
         self._state_blocks = shardset.P
+        # topology-mutation support (SURVEY.md §2.6): where the edge table
+        # lives and where rebuilt shard stores may be written. Optional —
+        # algorithms that never mutate don't need it.
+        self.graph_source = graph_source
+        self._mutation_epoch = 0
+        self.dead: set[int] = set()  # tombstoned vids (delete_vertex)
 
     # -- superstep stage factories (plain functions → stateless Ray tasks that
     #    reuse warm workers; CSR state is plasma-resident, so actor affinity
@@ -225,6 +235,7 @@ class Engine:
                     mailbox=None):
         needs_edges = getattr(algorithm, "needs_edges_in_apply", False)
         n_local_map = dict(self.shards.n_local)
+        token = self.shards.shard_dir
 
         def apply(group: pa.Table) -> pa.Table:
             kinds = group["kind"].to_numpy(zero_copy_only=False)
@@ -253,7 +264,7 @@ class Engine:
                 msgs = None
 
             if needs_edges:
-                ctx["_adj"] = _part_adjacency(part, refs, shards_of_part, n_local_map)
+                ctx["_adj"] = _part_adjacency(token, part, refs, shards_of_part, n_local_map)
             pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
             new_state, metrics, agg = algorithm.apply(part, pmeta, state, msgs, ctx)
             agg_bytes = pickle.dumps(agg) if agg is not None else b""
@@ -289,6 +300,152 @@ class Engine:
                 aggs.append(pickle.loads(agg_bytes))
         merged = algorithm.merge_agg(aggs) if aggs else {}
         return m, merged
+
+    def _apply_mutations(self, muts: list[tuple], state: rd.Dataset, algorithm):
+        """Apply topology mutations at the superstep boundary in the
+        reference's deterministic order — delete edges, delete vertices,
+        add vertices, add edges (worker.lua:197-309) — then rebuild the
+        CSR shard store and extend per-part state for new vertices.
+
+        delete_vertex requires the vertex to have no remaining out-edges
+        (the reference asserts cascading delete NIY, vertex.lua:183);
+        conflicts are logged and skipped like the reference's
+        "exists"/"not exists" logs. Deleted vertices are tombstoned: they
+        stop computing and inbound messages are dropped (M3 semantics)."""
+        import logging
+
+        import pyarrow as pa
+
+        from .graph import build_shards
+
+        if self.graph_source is None:
+            raise RuntimeError(
+                "topology mutations need Engine(graph_source={'edges_dir', "
+                "'vertices_dir', 'work_dir'})"
+            )
+        log = logging.getLogger("pregel_ray.mutations")
+        gs = self.graph_source
+        edges_pd = rd.read_parquet(gs["edges_dir"]).to_pandas()
+
+        # deterministic intent order within each phase
+        del_edges = sorted(m[1:] for m in muts if m[0] == "delete_edge")
+        del_vertices = sorted(m[1] for m in muts if m[0] == "delete_vertex")
+        add_vertices = [m[1] for m in muts if m[0] == "add_vertex"]
+        add_edges = sorted(m[1:] for m in muts if m[0] == "add_edge")
+
+        # 1. delete edges
+        for src, dst in del_edges:
+            hit = (edges_pd["src"] == src) & (edges_pd["dst"] == dst)
+            if not hit.any():
+                log.warning("delete_edge (%s,%s): not exists", src, dst)
+            edges_pd = edges_pd[~hit]
+
+        # 2. delete vertices (no-cascade contract)
+        for vid in del_vertices:
+            if ((edges_pd["src"] == vid) | (edges_pd["dst"] == vid)).any():
+                log.warning("delete_vertex %s: has edges, skipped (cascade NIY)", vid)
+                continue
+            self.dead.add(int(vid))
+
+        # 3. add vertices: append to per-part dense id space
+        new_local: dict[int, list] = {}
+        n_local = dict(self.shards.n_local)
+        P = self.shards.P
+        import pickle as _p
+
+        for value in add_vertices:
+            part = int(
+                int.from_bytes(
+                    __import__("hashlib").blake2b(_p.dumps(value), digest_size=4).digest(),
+                    "little",
+                )
+                % P
+            )
+            vid = n_local.get(part, 0) * P + part
+            n_local[part] = n_local.get(part, 0) + 1
+            new_local.setdefault(part, []).append((vid, value))
+
+        # 4. add edges
+        import pandas as pd
+
+        if add_edges:
+            known = set(
+                rd.read_parquet(gs["vertices_dir"]).to_pandas()["vid"]
+            ) | {v for adds in new_local.values() for v, _ in adds}
+            rows = []
+            for src, dst, w in add_edges:
+                if src not in known or dst not in known:
+                    log.warning("add_edge (%s,%s): vertex not exists, skipped", src, dst)
+                    continue
+                rows.append({"src": src, "dst": dst, "w": w})
+            if rows:
+                edges_pd = pd.concat([edges_pd, pd.DataFrame(rows)], ignore_index=True)
+
+        # persist the mutated edge table + rebuild shards (fresh epoch dir)
+        self._mutation_epoch += 1
+        epoch_dir = os.path.join(gs["work_dir"], f"epoch{self._mutation_epoch}")
+        os.makedirs(epoch_dir, exist_ok=True)
+        new_edges_dir = os.path.join(epoch_dir, "edges")
+        os.makedirs(new_edges_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(edges_pd, preserve_index=False),
+                       os.path.join(new_edges_dir, "edges.parquet"))
+        gs["edges_dir"] = new_edges_dir
+
+        verts_pd = rd.read_parquet(gs["vertices_dir"]).to_pandas()
+        if new_local:
+            rows = [
+                {"name": f"__added_{vid}", "part": np.int32(p), "vid": vid}
+                for p, adds in new_local.items()
+                for vid, _ in adds
+            ]
+            verts_pd = pd.concat([verts_pd, pd.DataFrame(rows)], ignore_index=True)
+        new_verts_dir = os.path.join(epoch_dir, "vertices")
+        os.makedirs(new_verts_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(verts_pd, preserve_index=False),
+                       os.path.join(new_verts_dir, "vertices.parquet"))
+        gs["vertices_dir"] = new_verts_dir
+
+        variant = "directed" if algorithm.directed else "undirected"
+        from .graph import DIRECTED, UNDIRECTED
+
+        self.shards = build_shards(
+            rd.read_parquet(new_edges_dir),
+            rd.read_parquet(new_verts_dir),
+            os.path.join(epoch_dir, "shards"),
+            self.cfg,
+            variant=DIRECTED if algorithm.directed else UNDIRECTED,
+        )
+        self._state_blocks = self.shards.P
+        refs, meta_refs = self.shards.load_refs()
+
+        # extend per-part state for the added vertices + propagate tombstones
+        dead = set(self.dead)
+        adds = {p: [v for _, v in lst] for p, lst in new_local.items()}
+
+        def _extend(t: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(t.num_rows):
+                part = int(t["part"][i].as_py())
+                st = unpack(t["blob"][i].as_py())
+                st = {k: v.copy() for k, v in st.items()}
+                if part in adds:
+                    st = algorithm.extend_state(st, adds[part], part)
+                r = {k: t[k][i].as_py() for k in t.column_names}
+                r["blob"] = pack(st)
+                rows.append(r)
+            if not rows:
+                return CHUNK_SCHEMA.empty_table()
+            return pa.table(
+                {k: pa.array([r[k] for r in rows], CHUNK_SCHEMA.field(k).type)
+                 for k in CHUNK_SCHEMA.names},
+                schema=CHUNK_SCHEMA,
+            )
+
+        state = state.map_batches(_extend, batch_format="pyarrow").materialize()
+        state = rd.from_arrow_refs(state.to_arrow_refs())
+        return state, refs, meta_refs
 
     def _collect(self, state: rd.Dataset, superstep: int, algorithm) -> tuple[Metrics, dict]:
         rows = state.select_columns(
@@ -387,7 +544,9 @@ class Engine:
         for s in range(start, self.cfg.max_supersteps + 1):
             t0 = time.monotonic()
             ctx = self._base_ctx(params)
-            ctx.update({"superstep": s, "prev": prev.to_dict(), "agg": agg})
+            ctx.update({"superstep": s, "prev": prev.to_dict(), "agg": agg,
+                        "dead": frozenset(self.dead)})
+            ctx["N"] = self.shards.n_vertices  # mutations may change it
 
             scatter = self._make_scatter(
                 algorithm, ctx, refs, meta_refs, self.shards.shards_of_part, self.shards.shards
@@ -417,6 +576,10 @@ class Engine:
             prev.duration = time.monotonic() - t0
             history.append(prev)
             state = new_state
+
+            muts = agg.pop("_mutations", None)
+            if muts:
+                state, refs, meta_refs = self._apply_mutations(muts, state, algorithm)
 
             if run_dir and self.cfg.checkpoint_interval and s % self.cfg.checkpoint_interval == 0:
                 ckpt.write(run_dir, s, state, history)

@@ -58,6 +58,15 @@ class MicroGraph:
         self.vid_of = np.array([self.name2vid[name(i)] for i in ids], np.int64)
         self.id_of_vid = {int(v): int(i) for i, v in zip(ids, self.vid_of)}
 
+        # persist tables so Engine mutation support can rebuild shards
+        self.graph_source = {
+            "edges_dir": f"{workdir}_graph/edges",
+            "vertices_dir": f"{workdir}_graph/vertices",
+            "work_dir": f"{workdir}_graph/mutations",
+        }
+        edges.write_parquet(self.graph_source["edges_dir"])
+        vertices.write_parquet(self.graph_source["vertices_dir"])
+
         self.shards: ShardSet = build_shards(edges, vertices, workdir, cfg, variant=variant)
 
     def to_engine_order(self, values_by_id: np.ndarray) -> dict[int, float]:
