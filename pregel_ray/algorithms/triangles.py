@@ -29,7 +29,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 
 def _canonical(t: pa.Table) -> pa.Table:
@@ -46,11 +45,12 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
 
     Vertices with zero triangles are omitted (join with the vertex table
     to densify if needed)."""
-    simple = (
-        edges.map_batches(_canonical, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()  # dedup; count column unused
-    )
+    from ..agg import distinct, group_count
+
+    simple = distinct(
+        edges.map_batches(_canonical, batch_format="pyarrow"), ["a", "b"],
+        num_buckets=num_buckets,
+    ).materialize()  # reused by degrees, wedges and the closing join
 
     # degree per endpoint (of the simple undirected graph)
     def _endpoints(t: pa.Table) -> pa.Table:
@@ -59,9 +59,10 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
         )
         return pa.table({"vid": v})
 
-    degrees = (
-        simple.map_batches(_endpoints, batch_format="pyarrow").groupby("vid").count()
-    )  # (vid, count())
+    degrees = group_count(
+        simple.map_batches(_endpoints, batch_format="pyarrow"), ["vid"],
+        alias="count()", num_buckets=num_buckets,
+    )
 
     # broadcast degrees (|V| ≪ |E|; for huge V switch to Dataset.join)
     import ray
@@ -95,26 +96,14 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
 
     oriented = simple.map_batches(_orient, batch_format="pyarrow")
 
-    # wedges per center u: all ordered pairs over u's oriented neighbors
+    # wedges per center u: all ordered neighbor pairs, via a vectorized
+    # self-merge on u (C-speed; no per-vertex Python loop)
     def _wedges(g: pd.DataFrame) -> pd.DataFrame:
-        outs_a, outs_b, outs_c = [], [], []
-        for u, grp in g.groupby("u", sort=False):
-            nb = np.sort(grp["v"].to_numpy())
-            k = len(nb)
-            if k < 2:
-                continue
-            i, j = np.triu_indices(k, 1)
-            outs_a.append(nb[i])
-            outs_b.append(nb[j])
-            outs_c.append(np.full(len(i), u, dtype=np.int64))
-        if not outs_a:
-            return pd.DataFrame({"a": [], "b": [], "center": []}).astype(np.int64)
+        m = g.merge(g, on="u", suffixes=("_1", "_2"))
+        m = m[m["v_1"] < m["v_2"]]
         return pd.DataFrame(
-            {
-                "a": np.concatenate(outs_a),
-                "b": np.concatenate(outs_b),
-                "center": np.concatenate(outs_c),
-            }
+            {"a": m["v_1"].to_numpy(), "b": m["v_2"].to_numpy(),
+             "center": m["u"].to_numpy()}
         )
 
     def _bucket_u(t: pa.Table) -> pa.Table:
@@ -170,15 +159,14 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
         out = out.groupby("vid", as_index=False).size().rename(columns={"size": "t"})
         return out.astype({"vid": np.int64, "t": np.int64})
 
+    from ..agg import group_sum
+
     credits = (
         tagged.map_batches(_bucket_ab, batch_format="pyarrow")
         .groupby("bk")
         .map_groups(_close, batch_format="pandas")
     )
-    return (
-        credits.groupby("vid")
-        .aggregate(Sum("t", alias_name="triangles"))
-    )
+    return group_sum(credits, ["vid"], "t", alias="triangles", num_buckets=num_buckets)
 
 
 def triangle_total(per_vertex: rd.Dataset) -> int:

@@ -24,6 +24,11 @@ class EngineConfig:
     # Name→vid mapping is broadcast (ray.put dict) below this vertex count,
     # hash-partitioned Dataset.join above it.
     broadcast_vertex_threshold: int = 2_000_000
+    # State chunk rows per block in the superstep loop = scatter task count.
+    # None → auto: min(num_parts, max(8, cpus//2)). Fewer blocks cut Ray
+    # Data's fixed per-task launch cost (dominant at small data); at real
+    # scale set ≈ num_parts so every partition scatters as its own task.
+    state_blocks: int | None = None
     # BSP loop
     max_supersteps: int = 200
     checkpoint_interval: int = 0  # 0 = only final; K = every K supersteps

@@ -96,14 +96,21 @@ def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def derive_pairs(transcripts: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
-    """transcripts → weighted named edge table (src_name, dst_name, w)."""
+    """transcripts → weighted named edge table (src_name, dst_name, w).
+
+    The global weight combine is a bucketed vectorized group-sum (agg.py) —
+    Ray Data's aggregate() on a high-cardinality string pair key folds rows
+    per key in Python (measured 64× slower)."""
+    from .agg import group_sum
+
     named = transcripts.select_columns(transcript_columns()).map_batches(
         _name_batch,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.num_buckets},
     )
     pairs = named.groupby("bucket").map_groups(_pairs_in_bucket, batch_format="pandas")
-    return pairs.groupby(["src_name", "dst_name"]).aggregate(Sum("w", alias_name="w"))
+    return group_sum(pairs, ["src_name", "dst_name"], "w",
+                     num_buckets=max(32, cfg.num_buckets))
 
 
 def encode_vertices(
@@ -121,10 +128,12 @@ def encode_vertices(
         # batch-local distinct before the global one (map-side combine)
         return pa.table({"name": pc.unique(n)})
 
+    from .agg import distinct as _distinct
+
     name_src = pairs.map_batches(_names, batch_format="pyarrow")
     if extra_names:
         name_src = name_src.union(rd.from_arrow(pa.table({"name": pa.array(extra_names)})))
-    distinct = name_src.groupby("name").aggregate(Count(alias_name="_n"))
+    distinct = _distinct(name_src, ["name"])
 
     def _part(batch: pa.Table) -> pa.Table:
         batch = batch.select(["name"])

@@ -196,8 +196,16 @@ class Engine:
         self.shards = shardset
         self.cfg = cfg or EngineConfig(num_parts=shardset.P)
         assert self.cfg.num_parts == shardset.P
-        # one chunk row per block → P scatter tasks per superstep
-        self._state_blocks = shardset.P
+        if self.cfg.state_blocks is not None:
+            self._state_blocks = min(shardset.P, self.cfg.state_blocks)
+        else:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cpus = 8
+            # scatter-task granularity: per-task launch overhead dominates at
+            # small data, so batch several parts per block; see config.py
+            self._state_blocks = max(1, min(shardset.P, max(8, cpus // 2)))
         # topology-mutation support (SURVEY.md §2.6): where the edge table
         # lives and where rebuilt shard stores may be written. Optional —
         # algorithms that never mutate don't need it.
@@ -209,27 +217,20 @@ class Engine:
     #    reuse warm workers; CSR state is plasma-resident, so actor affinity
     #    is unnecessary and per-superstep actor-pool relaunch cost is avoided)
 
-    def _make_scatter(self, algorithm, ctx, refs, meta_refs, shards_of_part, shard_rows):
-        def scatter(batch: pa.Table) -> pa.Table:
-            out = []
-            for i in range(batch.num_rows):
-                if batch["kind"][i].as_py() != 0:
-                    continue
-                part = int(batch["part"][i].as_py())
-                state = unpack(batch["blob"][i].as_py())
-                pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
-                for gid in shards_of_part.get(part, []):
-                    shard = ray.get(refs[gid])  # zero-copy plasma views
-                    for dst_part, cols in algorithm.scatter(shard, pmeta, state, ctx):
-                        n = len(cols["dst"])
-                        if n == 0:
-                            continue
-                        out.append(
-                            _row(dst_part, 1, gid, pack(cols), nmsg=n)
-                        )
-            return _table(out)
-
-        return scatter
+    def _scatter_rows(self, algorithm, ctx, refs, shards_of_part, meta_refs,
+                      part, state, pmeta) -> list[dict]:
+        """Messages this partition sends given its (fresh) state — emitted as
+        kind=1 chunk rows addressed to the destination partitions. Runs
+        inside apply (fused scatter: messages computed while applying
+        superstep S are delivered at S+1, the reference's send semantics)."""
+        out = []
+        for gid in shards_of_part.get(part, []):
+            shard = ray.get(refs[gid])  # zero-copy plasma views
+            for dst_part, cols in algorithm.scatter(shard, pmeta, state, ctx):
+                n = len(cols["dst"])
+                if n:
+                    out.append(_row(dst_part, 1, gid, pack(cols), nmsg=n))
+        return out
 
     def _make_apply(self, algorithm, ctx, meta_refs, refs=None, shards_of_part=None,
                     mailbox=None):
@@ -267,22 +268,29 @@ class Engine:
                 ctx["_adj"] = _part_adjacency(token, part, refs, shards_of_part, n_local_map)
             pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
             new_state, metrics, agg = algorithm.apply(part, pmeta, state, msgs, ctx)
+            # fused scatter: emit this partition's S+1 messages from the
+            # fresh state, so one groupby IS the whole superstep
+            rows = self._scatter_rows(
+                algorithm, ctx, refs, shards_of_part, meta_refs, part, new_state, pmeta
+            )
+            metrics = dict(metrics)
+            metrics["nmsg"] = int(sum(r["nmsg"] for r in rows))
             agg_bytes = pickle.dumps(agg) if agg is not None else b""
             if mailbox is not None:
                 # synchronous post: guarantees arrival before the barrier
                 ray.get(mailbox.put.remote(ctx["superstep"], part, metrics, agg_bytes))
-            return _table(
-                [
-                    _row(
-                        part, 0, -1, pack(new_state),
-                        active=metrics.get("active", 0),
-                        nmsg=metrics.get("nmsg", 0),
-                        m1=metrics.get("m1", 0.0),
-                        m2=metrics.get("m2", 0.0),
-                        agg=agg_bytes,
-                    )
-                ]
+            rows.insert(
+                0,
+                _row(
+                    part, 0, -1, pack(new_state),
+                    active=metrics.get("active", 0),
+                    nmsg=metrics.get("nmsg", 0),
+                    m1=metrics.get("m1", 0.0),
+                    m2=metrics.get("m2", 0.0),
+                    agg=agg_bytes,
+                ),
             )
+            return _table(rows)
 
         return apply
 
@@ -417,7 +425,6 @@ class Engine:
             self.cfg,
             variant=DIRECTED if algorithm.directed else UNDIRECTED,
         )
-        self._state_blocks = self.shards.P
         refs, meta_refs = self.shards.load_refs()
 
         # extend per-part state for the added vertices + propagate tombstones
@@ -428,12 +435,14 @@ class Engine:
             rows = []
             for i in range(t.num_rows):
                 part = int(t["part"][i].as_py())
-                st = unpack(t["blob"][i].as_py())
-                st = {k: v.copy() for k, v in st.items()}
-                if part in adds:
-                    st = algorithm.extend_state(st, adds[part], part)
                 r = {k: t[k][i].as_py() for k in t.column_names}
-                r["blob"] = pack(st)
+                # only STATE rows get new vertex slots; pending message
+                # chunks (kind=1, fused scatter) pass through untouched
+                if int(t["kind"][i].as_py()) == 0 and part in adds:
+                    st = unpack(t["blob"][i].as_py())
+                    st = {k: v.copy() for k, v in st.items()}
+                    st = algorithm.extend_state(st, adds[part], part)
+                    r["blob"] = pack(st)
                 rows.append(r)
             if not rows:
                 return CHUNK_SCHEMA.empty_table()
@@ -472,9 +481,14 @@ class Engine:
         }
 
     def init_state(self, algorithm, params: dict | None = None) -> tuple[rd.Dataset, Metrics, dict]:
+        """Initial state chunks + the initial scatter (messages delivered at
+        superstep 1 — scatter of state_0, reference: first run_superstep
+        reads an empty inbox unless the algorithm pre-sends)."""
         params = {**self.cfg.params, **(params or {})}
         ctx = self._base_ctx(params)
-        _, meta_refs = self.shards.load_refs()
+        ctx["superstep"] = 1
+        refs, meta_refs = self.shards.load_refs()
+        shards_of_part = self.shards.shards_of_part
         n_local = self.shards.n_local
 
         def _init(batch: pa.Table) -> pa.Table:
@@ -483,20 +497,23 @@ class Engine:
                 part = int(batch["id"][i].as_py())
                 pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
                 state, metrics = algorithm.init(part, n_local.get(part, 0), pmeta, ctx)
+                rows = self._scatter_rows(
+                    algorithm, ctx, refs, shards_of_part, meta_refs, part, state, pmeta
+                )
                 out.append(
                     _row(
                         part, 0, -1, pack(state),
                         active=metrics.get("active", 0),
-                        nmsg=metrics.get("nmsg", 0),
+                        nmsg=int(sum(r["nmsg"] for r in rows)),
                         m1=metrics.get("m1", 0.0),
                         m2=metrics.get("m2", 0.0),
                     )
                 )
+                out.extend(rows)
             return _table(out)
 
-        parts = self.shards.parts()
         state = (
-            rd.range(self.shards.P, override_num_blocks=min(self.shards.P, 64))
+            rd.range(self.shards.P, override_num_blocks=self._state_blocks)
             .map_batches(_init, batch_format="pyarrow")
             .materialize()
         )
@@ -548,20 +565,18 @@ class Engine:
                         "dead": frozenset(self.dead)})
             ctx["N"] = self.shards.n_vertices  # mutations may change it
 
-            scatter = self._make_scatter(
-                algorithm, ctx, refs, meta_refs, self.shards.shards_of_part, self.shards.shards
-            )
-            msgs = state.map_batches(scatter, batch_format="pyarrow")
+            # ONE groupby is the whole superstep: the state dataset already
+            # carries last superstep's message chunks (fused scatter), the
+            # part-shuffle routes them, apply reduces + computes + emits the
+            # next round's messages.
             apply = self._make_apply(
                 algorithm, ctx, meta_refs, refs, self.shards.shards_of_part, mailbox
             )
             new_state = (
-                state.union(msgs)
-                .groupby("part")
+                state.groupby("part")
                 .map_groups(apply, batch_format="pyarrow")
-                # bound the block count: without this, union+sort double the
-                # blocks every superstep (state blocks + msg blocks) and the
-                # shuffle task matrix grows exponentially with supersteps
+                # bound block count (sort output inherits input block count;
+                # unbounded it compounds every superstep)
                 .repartition(self._state_blocks)
                 .materialize()
             )

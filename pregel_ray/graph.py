@@ -49,8 +49,10 @@ UNDIRECTED = "undirected"
 
 def symmetrize(edges: rd.Dataset) -> rd.Dataset:
     """Undirected simple-graph view: both directions, self-loops dropped,
-    weights summed per (src, dst)."""
+    weights summed per (src, dst) — bucketed vectorized group-sum (agg.py)."""
     import pyarrow as pa
+
+    from .agg import group_sum
 
     def _both(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -59,11 +61,8 @@ def symmetrize(edges: rd.Dataset) -> rd.Dataset:
         rev = pa.table({"src": t["dst"], "dst": t["src"], "w": t["w"]})
         return pa.concat_tables([t.select(["src", "dst", "w"]), rev])
 
-    return (
-        edges.map_batches(_both, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Sum("w", alias_name="w"))
-    )
+    return group_sum(edges.map_batches(_both, batch_format="pyarrow"),
+                     ["src", "dst"], "w")
 
 
 def _build_part_shards(

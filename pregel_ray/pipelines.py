@@ -96,14 +96,17 @@ def edges_named(sf_dir: str) -> rd.Dataset:
 
 
 def vertex_out_degrees(sf_dir: str) -> rd.Dataset:
-    from ray.data.aggregate import Count, Sum
+    from .agg import grouped_apply
 
-    out = (
-        edges_named(sf_dir)
-        .groupby("src_name")
-        .aggregate(Count(alias_name="out_deg"), Sum("w", alias_name="out_w"))
-    )
-    return out.rename_columns({"src_name": "name"})
+    def _deg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("src_name", sort=False, as_index=False).agg(
+            out_deg=("w", "size"), out_w=("w", "sum")
+        )
+        # rename here: Dataset.rename_columns assumes Arrow blocks and breaks
+        # on the pandas blocks map_groups produces
+        return out.rename(columns={"src_name": "name"})
+
+    return grouped_apply(edges_named(sf_dir), ["src_name"], _deg)
 
 
 def _pagerank_result(sf_dir: str, fixed_iters: int | None, tol: float):
