@@ -73,6 +73,24 @@ class Algorithm:
         return out
 
     @staticmethod
+    def split_precomputed(shard: dict, combined: np.ndarray, col: str = "m"):
+        """Split per-dst_unique combined values by destination partition
+        using the shard's build-time precomputed order/boundaries
+        (graph.py) — no per-superstep sort."""
+        order = shard.get("dstp_order")
+        if order is None or len(order) == 0:
+            return []
+        ds = shard["dst_unique"][order]
+        cs = combined[order]
+        starts = shard["dstp_starts"]
+        ids = shard["dstp_ids"]
+        return [
+            (int(ids[k]), {"dst": ds[starts[k]:starts[k + 1]],
+                           col: cs[starts[k]:starts[k + 1]]})
+            for k in range(len(ids))
+        ]
+
+    @staticmethod
     def combine_by_dst(dst: np.ndarray, vals: np.ndarray, ufunc=np.add):
         """Sort-free exact combine of (dst, val) pairs → unique dst + folded vals."""
         order = np.argsort(dst, kind="stable")

@@ -47,8 +47,12 @@ class PageRank(Algorithm):
         return {"rank": rank}, {"active": n_local, "m2": dangling}
 
     def scatter(self, shard, pmeta, state, ctx):
+        if len(shard["src_local"]) == 0:
+            return []
         contrib = state["rank"][shard["src_local"]] * shard["w_norm"]
-        combined = np.add.reduceat(contrib, shard["seg_starts"]) if len(contrib) else contrib
+        combined = np.add.reduceat(contrib, shard["seg_starts"])
+        if "dstp_order" in shard:  # build-time dst-part split (no sort)
+            return self.split_precomputed(shard, combined)
         return self.split_by_dst_part(ctx["P"], shard["dst_unique"], {"m": combined})
 
     def apply(self, part, pmeta, state, msgs, ctx):

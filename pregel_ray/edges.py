@@ -195,14 +195,24 @@ def encode_edges(
         return pairs.map_batches(_lookup, batch_format="pyarrow")
 
     # Large-vertex path: two hash-partitioned Dataset.joins on the name key.
-    nparts = max(cfg.num_parts, 16)
+    # Partition count must stay well under the CPU count: the hash-shuffle
+    # join spawns one aggregator actor per wave and starves/hangs when they
+    # outnumber the cores (observed: 64-partition join crawling at 5% CPU).
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nparts = max(2, min(cfg.num_parts, cpus // 2))
+    agg_args = {"num_cpus": 0.5}
     v = vertices.select_columns(["name", "vid"])
     e1 = pairs.join(
-        v, join_type="inner", num_partitions=nparts, on=("src_name",), right_on=("name",)
+        v, join_type="inner", num_partitions=nparts, on=("src_name",),
+        right_on=("name",), aggregator_ray_remote_args=agg_args,
     )
     e1 = e1.rename_columns({"vid": "src"}).select_columns(["src", "dst_name", "w"])
     e2 = e1.join(
-        v, join_type="inner", num_partitions=nparts, on=("dst_name",), right_on=("name",)
+        v, join_type="inner", num_partitions=nparts, on=("dst_name",),
+        right_on=("name",), aggregator_ray_remote_args=agg_args,
     )
     e2 = e2.rename_columns({"vid": "dst"})
     return e2.select_columns(["src", "dst", "w"])

@@ -108,6 +108,18 @@ def _build_part_shards(
         else:
             seg_starts = np.array([], np.int64)
             dst_unique = np.array([], np.int64)
+        # precomputed dst-part split of dst_unique: full-frontier scatters
+        # (PageRank) skip the per-superstep mod+argsort entirely
+        dp = (dst_unique % P).astype(np.int64)
+        dstp_order = np.argsort(dp, kind="stable")
+        dp_sorted = dp[dstp_order]
+        if len(dp_sorted):
+            b = np.flatnonzero(np.diff(dp_sorted)) + 1
+            dstp_starts = np.concatenate(([0], b, [len(dp_sorted)]))
+            dstp_ids = dp_sorted[np.concatenate(([0], b))]
+        else:
+            dstp_starts = np.array([0], np.int64)
+            dstp_ids = np.array([], np.int64)
         path = os.path.join(out_dir, f"part{part:06d}_s{s:04d}.npz")
         _atomic_savez(
             path,
@@ -117,6 +129,9 @@ def _build_part_shards(
             w_norm=w_norm[lo:hi],
             dst_unique=dst_unique,
             seg_starts=seg_starts.astype(np.int64),
+            dstp_order=dstp_order.astype(np.int64),
+            dstp_starts=dstp_starts.astype(np.int64),
+            dstp_ids=dstp_ids.astype(np.int64),
         )
         rows.append({"part": part, "shard": s, "n_edges": hi - lo, "path": path})
     return pd.DataFrame(rows)

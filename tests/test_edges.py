@@ -102,3 +102,24 @@ def test_per_turn_text_invariant(ray_session, tiny_transcripts):
     assert back["text"].equals(
         back["conv_id"] + ":" + back["turn_idx"].astype(str) + back["text"].str.extract(r"^[^:]+:\d+(:.*)$", expand=False)
     )
+
+
+def test_encode_edges_join_path_matches_broadcast(built, tiny_transcripts):
+    """The large-vertex Dataset.join path must produce the same edge table
+    as the broadcast-LUT path (forced via threshold=0)."""
+    import ray.data as rd
+
+    from pregel_ray.config import EngineConfig
+    from pregel_ray.edges import derive_pairs, encode_edges, encode_vertices
+
+    cfg = EngineConfig(num_parts=8, num_buckets=4)
+    ds = rd.from_arrow(tiny_transcripts)
+    pairs = derive_pairs(ds, cfg).materialize()
+    verts = encode_vertices(pairs, cfg).materialize()
+
+    bc = encode_edges(pairs, verts, cfg).to_pandas()
+    cfg_join = EngineConfig(num_parts=8, num_buckets=4, broadcast_vertex_threshold=0)
+    jn = encode_edges(pairs, verts, cfg_join).to_pandas()
+    bc = bc.sort_values(["src", "dst"], ignore_index=True)
+    jn = jn.sort_values(["src", "dst"], ignore_index=True)
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
