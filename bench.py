@@ -112,10 +112,23 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
-    lo_cpus, hi_cpus = 8, 32
+    """N vs 4N parallelism on the same input, fresh sessions.
+
+    Defaults to cpus 2 vs 8 on the sf=1.0 fixture (8.2M edges): the regime
+    where the fixed-size workload SATURATES the smaller allocation — the
+    sandbox analogue of 10^12 turns on N nodes. At 8→32 cpus this corpus
+    underfills the cores (the superstep loop's parallel work is ~2 s/step)
+    and measures idle hardware, not the engine; the full saturation curve
+    is recorded in BENCH/BASELINE.md. Override with GRAFT_SCALING_CPUS
+    ("2,8") and GRAFT_SCALING_SF ("1.0" → synthesized fixture scale)."""
+    lo_cpus, hi_cpus = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+    )
+    sf = os.environ.get("GRAFT_SCALING_SF", "1.0")
     results = {}
     for n in (lo_cpus, hi_cpus):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   GRAFT_SF_DIR=f"/root/testdata/sf{sf}")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -124,18 +137,22 @@ def run_scaling() -> None:
         results[n] = json.loads(p.stdout.strip().splitlines()[-1])
     t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    total = {n: round(sum(r["queries"].values()), 3) for n, r in results.items()}
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
+                f"sec_{lo_cpus}": t_lo,
+                f"sec_{hi_cpus}": t_hi,
                 "speedup": round(t_lo / t_hi, 3),
                 "scaling_efficiency": round(eff, 3),
-                "edges_per_sec_8": results[lo_cpus]["edges_per_sec"],
-                "edges_per_sec_32": results[hi_cpus]["edges_per_sec"],
-                "supersteps_per_sec_8": results[lo_cpus]["supersteps_per_sec"],
-                "supersteps_per_sec_32": results[hi_cpus]["supersteps_per_sec"],
+                f"pipeline_total_sec_{lo_cpus}": total[lo_cpus],
+                f"pipeline_total_sec_{hi_cpus}": total[hi_cpus],
+                f"edges_per_sec_{lo_cpus}": results[lo_cpus]["edges_per_sec"],
+                f"edges_per_sec_{hi_cpus}": results[hi_cpus]["edges_per_sec"],
+                f"supersteps_per_sec_{lo_cpus}": results[lo_cpus]["supersteps_per_sec"],
+                f"supersteps_per_sec_{hi_cpus}": results[hi_cpus]["supersteps_per_sec"],
                 "sf": results[hi_cpus]["sf"],
+                "cpus": [lo_cpus, hi_cpus],
             }
         )
     )
