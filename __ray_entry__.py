@@ -82,6 +82,26 @@ def _pagerank_sql(iters: int) -> str:
     )
 
 
+def _sssp_sql(iters: int = 10, source: str = "tool-00") -> str:
+    """Unrolled Bellman-Ford rounds (one round = one BSP superstep of
+    algorithms/sssp.py); distances are integer-count sums → exact doubles."""
+    ctes = [f"d0 AS MATERIALIZED (SELECT '{source}' AS name, 0.0 AS dist)"]
+    for k in range(1, iters + 1):
+        prev = f"d{k - 1}"
+        ctes.append(f"""
+  d{k} AS MATERIALIZED (
+    SELECT name, MIN(dist) AS dist FROM (
+      SELECT name, dist FROM {prev}
+      UNION ALL
+      SELECT e.dst_name AS name, p.dist + e.w AS dist
+      FROM {prev} p JOIN e ON e.src_name = p.name
+    ) GROUP BY name)""")
+    return (
+        "WITH " + _edges_cte() + ", " + ",".join(ctes)
+        + f"\nSELECT name, dist FROM d{iters}"
+    )
+
+
 def _triangles_cte() -> str:
     return (
         "WITH "
@@ -186,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_clusters": lambda sf: P.lpa_labels(sf),
         "triangles_per_vertex": lambda sf: P.triangles_per_vertex(sf),
         "triangle_total": lambda sf: P.triangle_total_table(sf),
+        "sssp_from_hub": lambda sf: P.sssp_from_hub(sf),
         # -- training-data ops over documents/embeddings -------------------
         "doc_token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_lexical_stats": lambda sf: lexical_stats(_docs(sf)),
@@ -220,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_name AS name, COUNT(*) AS out_deg, SUM(w) AS out_w
             FROM e GROUP BY src_name""",
         "pagerank_fixed20": _pagerank_sql(20),
+        "sssp_from_hub": _sssp_sql(10),
         "triangles_per_vertex": _triangles_cte() + """
             SELECT name, COUNT(*) AS triangles FROM (
               SELECT x AS name FROM tri

@@ -221,6 +221,34 @@ def lpa_labels(sf_dir: str, max_iters: int = 20) -> rd.Dataset:
     return res.vertex_table().map_batches(_name, batch_format="pyarrow")
 
 
+def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) -> rd.Dataset:
+    """(name, dist) — shortest paths from a hub vertex, fixed `iters`
+    Bellman-Ford rounds (matched by the unrolled SQL oracle); only reached
+    vertices are returned."""
+    import ray
+
+    from .algorithms.sssp import ShortestPaths
+
+    ss, p, cfg = shardset(sf_dir, DIRECTED)
+    verts = _vid_names(p)
+    source_vid = int(verts.loc[verts["name"] == source_name, "vid"].iloc[0])
+    res = Engine(ss, cfg).run(ShortestPaths(source_vid=source_vid, max_iters=iters))
+    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
+
+    def _name(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(lut_ref)
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        keep = np.isfinite(d)
+        vids = t["vid"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"name": pa.array([lut[v] for v in vids]), "dist": pa.array(d[keep])}
+        )
+
+    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+
+
 def triangles_per_vertex(sf_dir: str) -> rd.Dataset:
     """(name, triangles) — only vertices in ≥1 triangle."""
     import ray

@@ -94,3 +94,24 @@ def triangles_oracle(src, dst, n):
     per_vertex = ((a @ a) * a).sum(axis=1) // 2
     total = int(per_vertex.sum() // 3)
     return total, per_vertex.astype(np.int64)
+
+
+def sssp_oracle(src, dst, w, n, source, iters=None):
+    """Bellman-Ford rounds (synchronous relaxation — one round = one BSP
+    superstep of algorithms/sssp.py)."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    w = np.asarray(w, np.float64)
+    dist = np.full(n, np.inf)
+    dist[source] = 0.0
+    rounds = iters if iters is not None else n
+    for _ in range(rounds):
+        cand = dist[src] + w
+        new = dist.copy()
+        np.minimum.at(new, dst, cand)
+        if np.array_equal(
+            np.nan_to_num(new, posinf=1e300), np.nan_to_num(dist, posinf=1e300)
+        ):
+            break
+        dist = new
+    return dist
