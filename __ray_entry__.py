@@ -102,6 +102,54 @@ def _sssp_sql(iters: int = 10, source: str = "tool-00") -> str:
     )
 
 
+def _cc_sql() -> str:
+    """Connected components of the transcript graph, exactly.
+
+    Structural fact of the derived graph (FIXTURES.md §1): every
+    conversation's turn chain connects ALL of that conversation's vertices
+    (its conv/role vertices and the tools it uses) into one blob, so global
+    components = conversation blobs merged through shared tools. The
+    tool-tool co-occurrence graph has ≤32 nodes → its transitive closure is
+    a cheap recursive CTE; conv blobs inherit their tools' component, and
+    tool-less conversations are singleton components. Labels are canonical:
+    MIN member name per component (matching pipelines.cc_labels)."""
+    return (
+        "WITH RECURSIVE "
+        + _edges_cte()
+        + """,
+  v AS MATERIALIZED (SELECT DISTINCT name FROM
+        (SELECT src_name AS name FROM e UNION ALL SELECT dst_name FROM e)),
+  conv_tools AS MATERIALIZED (
+      SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
+        AND conv_id IN (SELECT split_part(name, '/', 1) FROM v WHERE contains(name, '/'))
+  ),
+  tool_edges AS MATERIALIZED (
+      SELECT DISTINCT a.tool AS ta, b.tool AS tb
+      FROM conv_tools a JOIN conv_tools b USING (conv_id)),
+  reach AS (
+      SELECT tool AS tool, tool AS root FROM (SELECT DISTINCT tool FROM conv_tools)
+      UNION
+      SELECT e.tb, r.root FROM reach r JOIN tool_edges e ON e.ta = r.tool),
+  tool_comp AS MATERIALIZED (SELECT tool, MIN(root) AS ck FROM reach GROUP BY tool),
+  conv_comp AS MATERIALIZED (
+      SELECT ct.conv_id, MIN(tc.ck) AS ck
+      FROM conv_tools ct JOIN tool_comp tc ON tc.tool = ct.tool
+      GROUP BY ct.conv_id),
+  keyed AS MATERIALIZED (
+      SELECT v.name,
+             CASE WHEN NOT contains(v.name, '/') THEN
+                      (SELECT ck FROM tool_comp WHERE tool = v.name)
+                  ELSE COALESCE(
+                      (SELECT ck FROM conv_comp
+                       WHERE conv_id = split_part(v.name, '/', 1)),
+                      'solo:' || split_part(v.name, '/', 1))
+             END AS ck
+      FROM v)
+  SELECT name, MIN(name) OVER (PARTITION BY ck) AS component FROM keyed
+"""
+    )
+
+
 def _triangles_cte() -> str:
     return (
         "WITH "
@@ -231,9 +279,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered for the sf tables; the
     transcripts fixture is addressed by absolute parquet path). Queries
     without an entry here are checked rows-only by the driver:
-    pagerank_top20 / cc / lpa (iterative, not SQL-expressible without
-    aggregate-in-recursion), LSH/minhash/simhash/IVF (approximate by
-    design), langid/quality/multimodal (model-style scoring)."""
+    pagerank_top20 (convergence is data-dependent; the fixed-iteration
+    variant is value-checked), lpa (tie-breaking orders by internal vid —
+    no name-order SQL equivalent), LSH/minhash/simhash/IVF (approximate by
+    design; exactness covered by planted-duplicate tests and the exact
+    neardup/brute-topk oracles), langid/quality/multimodal (model-style
+    scoring, pytest-validated)."""
     e = "WITH " + _edges_cte()
     return {
         "edges_materialize": e + "SELECT src_name, dst_name, w FROM e",
@@ -242,6 +293,10 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY src_name""",
         "pagerank_fixed20": _pagerank_sql(20),
         "sssp_from_hub": _sssp_sql(10),
+        "cc_labels": _cc_sql(),
+        "cc_sizes": (
+            "SELECT component, COUNT(*) AS size FROM (" + _cc_sql() + ") GROUP BY component"
+        ),
         "triangles_per_vertex": _triangles_cte() + """
             SELECT name, COUNT(*) AS triangles FROM (
               SELECT x AS name FROM tri

@@ -171,9 +171,12 @@ def pagerank_top20(sf_dir: str) -> pd.DataFrame:
 
 
 def cc_labels(sf_dir: str) -> rd.Dataset:
-    """(name, component) — component = name of the min-vid member."""
+    """(name, component) — component = lexicographically smallest member
+    NAME (canonical across systems: the engine's internal min-vid label is
+    remapped so the DuckDB oracle, which only knows names, can compare)."""
     import ray
 
+    from .agg import grouped_apply
     from .algorithms.cc import ConnectedComponents
 
     ss, p, cfg = shardset(sf_dir, UNDIRECTED)
@@ -186,11 +189,32 @@ def cc_labels(sf_dir: str) -> rd.Dataset:
         return pa.table(
             {
                 "name": pa.array([lut[v] for v in t["vid"].to_pylist()]),
-                "component": pa.array([lut[v] for v in t["label"].to_pylist()]),
+                "label": t["label"],
             }
         )
 
-    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    named = res.vertex_table().map_batches(_name, batch_format="pyarrow").materialize()
+
+    # canonical relabel: label(vid-min) → min member name; component count is
+    # small, so the mapping is a broadcast lookup
+    def _min_name(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("label", sort=False, as_index=False)["name"].min().rename(
+            columns={"name": "component"}
+        )
+
+    mapping = grouped_apply(named, ["label"], _min_name).to_pandas()
+    map_ref = ray.put(dict(zip(mapping["label"], mapping["component"])))
+
+    def _relabel(t: pa.Table) -> pa.Table:
+        lut = ray.get(map_ref)
+        return pa.table(
+            {
+                "name": t["name"],
+                "component": pa.array([lut[x] for x in t["label"].to_pylist()]),
+            }
+        )
+
+    return named.map_batches(_relabel, batch_format="pyarrow")
 
 
 def cc_sizes(sf_dir: str) -> rd.Dataset:
