@@ -76,6 +76,12 @@ def run_bench() -> dict:
     res = Engine(shards_d, cfg).run(PageRank())
     times["pagerank"] = time.monotonic() - t0
     supersteps = res.supersteps
+    # per-superstep medians are robust to transient stalls (virtualized CPU
+    # steal causes 1.5× run-to-run swings in single wall-clock samples)
+    import statistics
+
+    step_durs = [m.duration for m in res.history if m.superstep > 0]
+    median_step = statistics.median(step_durs) if step_durs else 0.0
 
     t0 = time.monotonic()
     shards_u = build_shards(edges, verts, f"{work}/shards_u", cfg, variant=UNDIRECTED)
@@ -103,6 +109,8 @@ def run_bench() -> dict:
         "n_edges": meta["n_edges"],
         "supersteps": supersteps,
         "supersteps_per_sec": round(supersteps / headline, 3),
+        "median_superstep_sec": round(median_step, 4),
+        "supersteps_per_sec_median": round(1.0 / median_step, 3) if median_step else 0.0,
         "edges_per_sec": round(meta["n_edges"] * supersteps / headline, 1),
         "pagerank_converged": bool(res.converged),
         "triangle_total": int(tri),
@@ -137,6 +145,9 @@ def run_scaling() -> None:
         results[n] = json.loads(p.stdout.strip().splitlines()[-1])
     t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    m_lo = results[lo_cpus].get("median_superstep_sec", 0.0)
+    m_hi = results[hi_cpus].get("median_superstep_sec", 0.0)
+    eff_median = (m_lo / m_hi) / (hi_cpus / lo_cpus) if m_hi else 0.0
     total = {n: round(sum(r["queries"].values()), 3) for n, r in results.items()}
     print(
         json.dumps(
@@ -145,6 +156,9 @@ def run_scaling() -> None:
                 f"sec_{hi_cpus}": t_hi,
                 "speedup": round(t_lo / t_hi, 3),
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_median_step": round(eff_median, 3),
+                f"median_superstep_sec_{lo_cpus}": m_lo,
+                f"median_superstep_sec_{hi_cpus}": m_hi,
                 f"pipeline_total_sec_{lo_cpus}": total[lo_cpus],
                 f"pipeline_total_sec_{hi_cpus}": total[hi_cpus],
                 f"edges_per_sec_{lo_cpus}": results[lo_cpus]["edges_per_sec"],

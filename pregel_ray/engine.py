@@ -167,6 +167,12 @@ class RunResult:
         """Per-vertex result Dataset (vid + state columns)."""
         return state_to_vertices(self.state, self.P, columns)
 
+    def write_solution(self, out_dir: str, columns: list[str] | None = None) -> None:
+        """Write the per-vertex result as partitioned Parquet — the
+        reference's (never-wired) write_solution hook, S13 in SURVEY.md §2.1
+        (vertex.lua:55-57), as a real sink."""
+        self.vertex_table(columns).write_parquet(out_dir)
+
 
 def state_to_vertices(state: rd.Dataset, P: int, columns: list[str] | None = None) -> rd.Dataset:
     def _expand(t: pa.Table) -> pa.Table:
