@@ -112,7 +112,12 @@ def _cc_sql() -> str:
     tool-tool co-occurrence graph has ≤32 nodes → its transitive closure is
     a cheap recursive CTE; conv blobs inherit their tools' component, and
     tool-less conversations are singleton components. Labels are canonical:
-    MIN member name per component (matching pipelines.cc_labels)."""
+    MIN member name per component (matching pipelines.cc_labels).
+
+    conv_tools is built from ALL conversations (no vertex-set restriction)
+    and tool_edges additionally unions the direct tool→tool pairs of e, so
+    the closure is structurally exact even for conversations whose every
+    turn is a tool turn."""
     return (
         "WITH RECURSIVE "
         + _edges_cte()
@@ -120,14 +125,19 @@ def _cc_sql() -> str:
   v AS MATERIALIZED (SELECT DISTINCT name FROM
         (SELECT src_name AS name FROM e UNION ALL SELECT dst_name FROM e)),
   conv_tools AS MATERIALIZED (
-      SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
-        AND conv_id IN (SELECT split_part(name, '/', 1) FROM v WHERE contains(name, '/'))
-  ),
+      SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL),
+  all_tools AS MATERIALIZED (
+      SELECT DISTINCT tool FROM conv_tools
+      UNION SELECT name FROM v WHERE NOT contains(name, '/')),
   tool_edges AS MATERIALIZED (
       SELECT DISTINCT a.tool AS ta, b.tool AS tb
-      FROM conv_tools a JOIN conv_tools b USING (conv_id)),
+      FROM conv_tools a JOIN conv_tools b USING (conv_id)
+      UNION SELECT DISTINCT src_name, dst_name FROM e
+        WHERE NOT contains(src_name, '/') AND NOT contains(dst_name, '/')
+      UNION SELECT DISTINCT dst_name, src_name FROM e
+        WHERE NOT contains(src_name, '/') AND NOT contains(dst_name, '/')),
   reach AS (
-      SELECT tool AS tool, tool AS root FROM (SELECT DISTINCT tool FROM conv_tools)
+      SELECT tool AS tool, tool AS root FROM all_tools
       UNION
       SELECT e.tb, r.root FROM reach r JOIN tool_edges e ON e.ta = r.tool),
   tool_comp AS MATERIALIZED (SELECT tool, MIN(root) AS ck FROM reach GROUP BY tool),
@@ -164,6 +174,143 @@ def _triangles_cte() -> str:
           JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b)
 """
     )
+
+
+def _lpa_sql(iters: int = 20) -> str:
+    """Unrolled synchronous weighted LPA over NAMES — exact engine parity:
+    labels start as each vertex's own name (the engine uses the name's
+    global rank, an order isomorphism), each round every vertex adopts the
+    incident-weight-maximal neighbor label with ties to the MIN label, and
+    the engine's early stop is a fixed point so a fixed `iters` unroll
+    matches regardless of when it stops (pipelines.lpa_labels)."""
+    ctes = [
+        """
+  ue AS MATERIALIZED (
+    SELECT src, dst, SUM(w) AS w FROM (
+      SELECT src_name AS src, dst_name AS dst, w FROM e WHERE src_name <> dst_name
+      UNION ALL
+      SELECT dst_name AS src, src_name AS dst, w FROM e WHERE src_name <> dst_name
+    ) GROUP BY src, dst)""",
+        "l0 AS MATERIALIZED (SELECT name, name AS lab FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"l{k - 1}"
+        ctes.append(f"""
+  l{k} AS MATERIALIZED (
+    SELECT v.name, COALESCE(b.lab, p.lab) AS lab
+    FROM v JOIN {prev} p ON p.name = v.name
+    LEFT JOIN (
+      SELECT name, lab FROM (
+        SELECT ue.dst AS name, p2.lab AS lab,
+               ROW_NUMBER() OVER (PARTITION BY ue.dst
+                   ORDER BY SUM(ue.w) DESC, p2.lab ASC) AS rn
+        FROM ue JOIN {prev} p2 ON p2.name = ue.src
+        GROUP BY ue.dst, p2.lab
+      ) WHERE rn = 1
+    ) b ON b.name = v.name)""")
+    return (
+        "WITH " + _graph_cte() + ", " + ",".join(ctes)
+        + f"\nSELECT name, lab AS cluster FROM l{iters}"
+    )
+
+
+def _langid_sql() -> str:
+    """Profile-trigram containment counts (ops/text.py LangId, exactly)."""
+    from pregel_ray.ops.text import LangId
+
+    score_cols = []
+    for lang, grams in LangId.PROFILES:
+        parts = " + ".join(f"contains(text, '{g}')::INT" for g in grams)
+        score_cols.append(f"({parts}) AS s_{lang}")
+    langs = [lang for lang, _ in LangId.PROFILES]
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # first language in profile order achieving the max (ties keep earlier)
+    case = [f"WHEN {gmax} = 0 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :])
+        case.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case) + f" ELSE '{langs[-1]}' END"
+    return f"""
+        WITH s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+        SELECT doc_id, {case_sql} AS lang_pred,
+               CAST({gmax} AS BIGINT) AS lang_hits
+        FROM s"""
+
+
+def _quality_sql() -> str:
+    """Integer quality heuristics (ops/text.py QualityScore, exactly)."""
+    from pregel_ray.ops.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+                 len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     x -> list_contains([{stoplist}], x))) AS n_stop,
+                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS sum_len
+          FROM documents),
+        x AS (SELECT doc_id, n_words, n_stop, sum_len,
+                     greatest(n_words, 1) AS n FROM w),
+        y AS (SELECT doc_id, n_words, n_stop, sum_len,
+                     least(n_stop * 1000000 // n, 600000) AS stop_x,
+                     least(abs(sum_len - 5 * n) * 1000000 // n, 5000000) AS dev
+              FROM x)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_stop AS BIGINT) AS n_stop,
+               CAST(sum_len AS BIGINT) AS sum_len,
+               CAST(stop_x * 5 // 6 + (5000000 - dev) // 10 AS BIGINT) AS quality_ppm
+        FROM y"""
+
+
+def _jaccard_sql(thr_ppm: int = 800_000) -> str:
+    """Exact all-pairs 3-word-shingle Jaccard at the threshold — equals the
+    MinHash-LSH + verify output because at bands=32/num_perm=64 the LSH
+    miss probability for a pair at J≥0.8 is (1-J²)^32 ≈ 6e-15 and the
+    verify stage discards every false positive with the same integer
+    threshold test (ops/dedup.py:_jac_keep)."""
+    return f"""
+        WITH wl AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(ws) < 3 THEN [text]
+                 ELSE list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS s
+               FROM wl),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+        uni AS (SELECT a, b, c, sa.sz + sb.sz - c AS u
+                FROM common
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b)
+        SELECT a, b, CAST(c * 1000000 // u AS BIGINT) AS jac_ppm
+        FROM uni WHERE c * 1000000 >= {thr_ppm} * u"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Exact SimHash near-dup pairs: rebuilds the 64-bit signatures
+    (word hash = md5_number_lower, exactly ops/dedup.py:_word_hash64) and
+    compares ALL pairs — equals the 4-block-LSH output because pigeonhole
+    makes the blocking lossless for hamming ≤ 3."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS b{i}"
+        for i in range(64)
+    )
+    sig_expr = " + ".join(
+        f"CASE WHEN b{i} THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END"
+        for i in range(64)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, ({sig_expr}) AS s FROM bits)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}"""
 
 
 # ---------------------------------------------------------------------------
@@ -209,21 +356,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _emb(sf_dir)
         q = emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
         queries_m = np.stack(q["embedding"].to_numpy()).astype(np.float64)
-        return ivf_topk(emb, queries_m, q["vec_id"].to_numpy(), k=10)
+        # nprobe == n_centroids: every bucket probed → exhaustive → exact
+        # (the SQL oracle is the brute-force ranking); the approximate
+        # regime (nprobe < n_centroids) is covered by the recall pytest
+        return ivf_topk(emb, queries_m, q["vec_id"].to_numpy(), k=10,
+                        n_centroids=16, nprobe=16)
 
-    def neardup(sf_dir):
+    def neardup_q(sf_dir):
         # 0.35: the synthetic embeddings top out at cos≈0.51 — this exercises
         # the op with a non-trivial result set (the 0.95-near-dup variant is
-        # covered with planted duplicates in tests/test_ops.py)
-        from pregel_ray.ops.ann import neardup_exact
+        # covered with planted duplicates in tests/test_ops.py). `neardup`
+        # gates: exact O(N²) baseline at this N, LSH path above the gate.
+        from pregel_ray.ops.ann import neardup
 
-        return neardup_exact(_emb(sf_dir), threshold=0.35)
+        return neardup(_emb(sf_dir), threshold=0.35)
 
     def minhash(sf_dir):
         from pregel_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
 
         docs = _docs(sf_dir)
-        cand = minhash_lsh_candidates(docs, num_perm=64, bands=16)
+        # bands=32 (2 rows/band): miss probability for a J≥0.8 pair is
+        # (1-J²)^32 ≈ 6e-15 — the exact all-pairs SQL oracle matches
+        cand = minhash_lsh_candidates(docs, num_perm=64, bands=32)
         return ngram_jaccard_verify(docs, cand, threshold=0.8)
 
     def simhash(sf_dir):
@@ -234,10 +388,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media(sf_dir):
         import ray.data as rd
 
-        from pregel_ray.ops.multimodal import media_features, synth_media
+        from pregel_ray.ops.multimodal import (
+            media_features,
+            quantize_features,
+            synth_media,
+        )
 
         n = 256 if "0.01" in sf_dir else 64
-        return media_features(rd.from_arrow(synth_media(n))).drop_columns(["feature"])
+        return quantize_features(media_features(rd.from_arrow(synth_media(n))))
 
     from pregel_ray.ops import relational as R
     from pregel_ray.ops.dedup import exact_duplicates
@@ -265,7 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": simhash,
         "ann_brute_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,
-        "embedding_neardup": neardup,
+        "embedding_neardup": neardup_q,
         "multimodal_features": media,
         # -- relational surface (sources/sinks, joins, windows) ------------
         "q1_pricing_summary": lambda sf: R.q1_pricing_summary(sf),
@@ -277,14 +435,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered for the sf tables; the
-    transcripts fixture is addressed by absolute parquet path). Queries
-    without an entry here are checked rows-only by the driver:
-    pagerank_top20 (convergence is data-dependent; the fixed-iteration
-    variant is value-checked), lpa (tie-breaking orders by internal vid —
-    no name-order SQL equivalent), LSH/minhash/simhash/IVF (approximate by
-    design; exactness covered by planted-duplicate tests and the exact
-    neardup/brute-topk oracles), langid/quality/multimodal (model-style
-    scoring, pytest-validated)."""
+    transcripts fixture is addressed by absolute parquet path). Every
+    query has an exact value oracle: approximate ops are exercised in
+    their provably-exact regimes (IVF with nprobe=n_centroids ≡ brute
+    force; MinHash-LSH at a band count whose miss probability is ~6e-15;
+    SimHash 4-block LSH is lossless for hamming ≤ 3 by pigeonhole), and
+    multimodal_features compares against a golden parquet produced by an
+    independent straight-numpy reimplementation (tests/make_golden.py)."""
     e = "WITH " + _edges_cte()
     return {
         "edges_materialize": e + "SELECT src_name, dst_name, w FROM e",
@@ -292,6 +449,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_name AS name, COUNT(*) AS out_deg, SUM(w) AS out_w
             FROM e GROUP BY src_name""",
         "pagerank_fixed20": _pagerank_sql(20),
+        "pagerank_top20": (
+            "SELECT name, rank FROM (" + _pagerank_sql(20)
+            + ") ORDER BY rank DESC, name LIMIT 20"
+        ),
+        "lpa_clusters": _lpa_sql(20),
         "sssp_from_hub": _sssp_sql(10),
         "cc_labels": _cc_sql(),
         "cc_sizes": (
@@ -316,7 +478,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": """
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)""",
+        "doc_langid": _langid_sql(),
+        "doc_quality": _quality_sql(),
+        "dedup_minhash_verified": _jaccard_sql(800_000),
+        "dedup_simhash_pairs": _simhash_sql(3),
+        # golden parquet from an INDEPENDENT straight-numpy implementation
+        # of the multimodal spec (tests/make_golden.py) — the codec itself
+        # is a documented environment stub, the plumbing is what's checked
+        "multimodal_features": """
+            SELECT media_id, decoded, feature_q
+            FROM read_parquet('/root/repo/tests/golden/multimodal_features_256.parquet')""",
         "ann_brute_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            sims AS (SELECT q.query_id, e.vec_id,
+                            ROUND(list_cosine_similarity(q.qe,
+                                  CAST(e.embedding AS DOUBLE[])), 6) AS cos
+                     FROM q CROSS JOIN embeddings e),
+            ranked AS (SELECT query_id, vec_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+                       FROM sims)
+            SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10""",
+        # IVF is run with nprobe == n_centroids (exhaustive probe), so the
+        # exact brute-force ranking is its oracle too
+        "ann_ivf_topk": """
             WITH q AS (SELECT vec_id AS query_id,
                               CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 5),

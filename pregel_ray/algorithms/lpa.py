@@ -35,15 +35,29 @@ def _sum_by_pairs(dst: np.ndarray, lab: np.ndarray, w: np.ndarray):
 
 
 class LabelPropagation(Algorithm):
+    """``init_labels_ref``: optional ObjectRef to a dict carrying
+    ``ranks_by_part[part] -> int64[n_local]`` (pipelines._name_lut_task).
+    When given, labels start as global NAME-RANKS instead of vids, making
+    the tie→min-label rule equal tie→min-name — the property the unrolled
+    DuckDB LPA oracle needs. Default (None) keeps vid labels (the
+    engine-internal canonical form used by the pytest oracle parity)."""
+
     name = "lpa"
     directed = False
 
-    def __init__(self, max_iters: int = 20):
+    def __init__(self, max_iters: int = 20, init_labels_ref=None):
         self.max_iters = max_iters
+        self.init_labels_ref = init_labels_ref
 
     def init(self, part, n_local, pmeta, ctx):
         P = ctx["P"]
-        labels = np.arange(n_local, dtype=np.int64) * P + part
+        if self.init_labels_ref is not None:
+            import ray
+
+            labels = ray.get(self.init_labels_ref)["ranks_by_part"][part].copy()
+            assert len(labels) == n_local
+        else:
+            labels = np.arange(n_local, dtype=np.int64) * P + part
         return {"label": labels}, {"active": n_local}
 
     def scatter(self, shard, pmeta, state, ctx):

@@ -73,19 +73,30 @@ def brute_topk(
     )
 
 
+@ray.remote
+def _gather_normed_matrix(block_refs: list) -> dict:
+    """Assemble the broadcast {normed matrix, ids} in a remote task — the
+    result lives in plasma; the driver only ever holds the ObjectRef."""
+    tables = [b if isinstance(b, pa.Table) else ray.get(b) for b in block_refs]
+    tables = [t for t in tables if t.num_rows]
+    mat = np.concatenate([_stack(t["embedding"]) for t in tables])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = np.concatenate(
+        [t["vec_id"].to_numpy(zero_copy_only=False) for t in tables]
+    ).astype(np.int64)
+    return {"m": mat, "ids": ids}
+
+
 def neardup_exact(embeddings: rd.Dataset, threshold: float = 0.95) -> rd.Dataset:
     """(a, b, cos) exact all-pairs cosine near-dup pairs (a < b).
 
-    The normalized matrix is broadcast once (N×d floats — fine up to a few
-    GB); each batch does one matmul against it and keeps only pairs where
-    its own vec_id is the smaller (no duplicates, no self-pairs). For
-    corpora where N×d no longer fits a worker, use
-    ops.dedup.embedding_near_dups (LSH-bucketed, sub-quadratic)."""
-    all_pd = embeddings.to_pandas()
-    mat = np.stack(all_pd["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ids = all_pd["vec_id"].to_numpy().astype(np.int64)
-    ref = ray.put({"m": mat, "ids": ids})
+    The normalized matrix is assembled in a remote task and broadcast from
+    plasma (N×d floats — fine up to a few GB, never on the driver); each
+    batch does one matmul against it and keeps only pairs where its own
+    vec_id is the smaller (no duplicates, no self-pairs). O(N²) compares:
+    the documented exactness baseline — `neardup` below gates to the
+    LSH-bucketed sub-quadratic path once N×d outgrows a worker."""
+    ref = _gather_normed_matrix.remote(embeddings.to_arrow_refs())
 
     def _pairs(t: pa.Table) -> pa.Table:
         lut = ray.get(ref)
@@ -108,6 +119,22 @@ def neardup_exact(embeddings: rd.Dataset, threshold: float = 0.95) -> rd.Dataset
     return embeddings.map_batches(_pairs, batch_format="pyarrow")
 
 
+def neardup(
+    embeddings: rd.Dataset, threshold: float = 0.95,
+    exact_max_vectors: int = 2_000_000,
+) -> rd.Dataset:
+    """Near-dup pairs with a scale gate: the exact O(N²) broadcast-matmul
+    baseline below `exact_max_vectors` (where the N×d matrix comfortably
+    fits a worker and exactness is free), the LSH-bucketed sub-quadratic
+    path (ops.dedup.embedding_near_dups: hyperplane codes, within-bucket
+    exact verify) above it — the 100 TB shape."""
+    if embeddings.count() <= exact_max_vectors:
+        return neardup_exact(embeddings, threshold)
+    from .dedup import embedding_near_dups
+
+    return embedding_near_dups(embeddings, threshold)
+
+
 def ivf_topk(
     embeddings: rd.Dataset,
     queries: np.ndarray,
@@ -120,8 +147,11 @@ def ivf_topk(
 ) -> rd.Dataset:
     """Approximate top-k: IVF coarse quantizer. Centroids fit driver-side
     on a bounded sample (seeded k-means, few iterations), then assignment
-    and per-bucket search run distributed. Recall < 1 by design; the
-    brute_topk path is the exactness baseline."""
+    and per-bucket search run distributed. Recall < 1 for
+    nprobe < n_centroids; with nprobe == n_centroids every bucket is
+    probed, so the search is exhaustive and exactly equals brute_topk
+    (the mode the driver query uses so its SQL oracle is exact, while the
+    recall pytest covers the approximate regime)."""
     sample = embeddings.random_sample(
         min(1.0, sample_size / max(1, embeddings.count())), seed=seed
     ).to_pandas()
@@ -163,7 +193,8 @@ def ivf_topk(
         qis = lut["probe_of_bucket"].get(b, [])
         if not qis:
             return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "vec_id": pd.Series([], dtype=np.int64), "cos": []})
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
         vecs = np.stack(g["v"].to_numpy())
         vid = g["vec_id"].to_numpy()
         sims = lut["q"][qis] @ vecs.T

@@ -16,8 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
 
 
 # -- exact -----------------------------------------------------------------
@@ -25,17 +25,21 @@ from ray.data.aggregate import Count, Min
 def exact_duplicates(docs: rd.Dataset) -> rd.Dataset:
     """(fp, keep_id, n_dups): groups of byte-identical texts; keep_id =
     min doc_id of the group (the canonical survivor). SQL-oracle parity:
-    md5 + GROUP BY."""
+    md5 + GROUP BY. Final combine via agg.grouped_apply — `fp` is one key
+    per distinct doc, exactly the high-cardinality regime where Ray's
+    aggregate() per-key Python fold is 64× slower (agg.py header)."""
+    from ..agg import grouped_apply
 
     def _fp(t: pa.Table) -> pa.Table:
         fp = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
         return pa.table({"fp": pa.array(fp), "doc_id": t["doc_id"]})
 
-    return (
-        docs.map_batches(_fp, batch_format="pyarrow")
-        .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
-    )
+    def _groups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("fp", sort=False, as_index=False).agg(
+            keep_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+
+    return grouped_apply(docs.map_batches(_fp, batch_format="pyarrow"), ["fp"], _groups)
 
 
 def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
@@ -137,82 +141,148 @@ def minhash_lsh_candidates(
         i, j = np.triu_indices(len(ids), 1)
         return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
-    return (
+    from ..agg import group_count
+
+    return group_count(
         sigs.map_batches(_bands, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
+        .map_groups(_pairs, batch_format="pandas"),
+        ["a", "b"],
+        alias="n_bands",
     )
 
 
+def _jac_keep(common: np.ndarray, union: np.ndarray, threshold: float):
+    """Exact integer threshold test + ppm value (no float rounding rules:
+    `common/union >= threshold` ⟺ `common * 1e6 >= thr_ppm * union` when
+    threshold is a ppm-exact fraction like 0.8)."""
+    thr_ppm = round(threshold * 1_000_000)
+    u = np.maximum(union, 1)
+    keep = common * 1_000_000 >= thr_ppm * u
+    return keep, common * 1_000_000 // u
+
+
 def ngram_jaccard_verify(
-    docs: rd.Dataset, candidates: rd.Dataset, k: int = 3, threshold: float = 0.8
+    docs: rd.Dataset, candidates: rd.Dataset, k: int = 3, threshold: float = 0.8,
+    broadcast_pair_cap: int = 200_000,
 ) -> rd.Dataset:
-    """Verify candidate pairs with true k-gram Jaccard. Texts of both pair
-    sides are broadcast as a doc_id→shingle-set lookup (built from the
-    candidate doc ids only — small by construction)."""
-    import ray
+    """Verify candidate pairs with true k-word-gram Jaccard →
+    (a, b, jac_ppm int64).
 
-    cand = candidates.to_pandas()
-    if len(cand) == 0:
-        return rd.from_items([])
-    needed = set(cand["a"]) | set(cand["b"])
+    Two shapes, picked by candidate volume:
+    - ≤ broadcast_pair_cap pairs: candidate doc ids pulled to the driver
+      (bounded: 2 ints/pair), the doc_id→shingle-set LUT built in a REMOTE
+      task (texts never pass through the driver) and read from plasma
+      inside the verify batches.
+    - above the cap (pathological band collisions at corpus scale): no
+      driver materialization at all — texts are shuffle-joined onto the
+      pair table (two hash joins) and Jaccard is computed per batch.
+    """
+    n_cand = candidates.count()
+    if n_cand == 0:
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jac_ppm": pa.array([], pa.int64())})
+        )
+    if n_cand <= broadcast_pair_cap:
+        return _jaccard_verify_broadcast(docs, candidates, k, threshold)
+    return _jaccard_verify_join(docs, candidates, k, threshold)
 
-    texts = docs.map_batches(
-        lambda t: t.select(["doc_id", "text"]).filter(
-            pa.compute.is_in(t["doc_id"], value_set=pa.array(list(needed)))
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    lut = {
-        int(r.doc_id): frozenset(_shingle_hashes(r.text, k).tolist())
-        for r in texts.itertuples()
-    }
-    lut_ref = ray.put(lut)
+
+@ray.remote
+def _shingle_lut(doc_refs: list, needed: frozenset, k: int) -> dict:
+    """doc_id → frozenset(shingle hashes) for the needed ids; runs remotely
+    so full texts stay off the driver (result lives in plasma)."""
+    lut = {}
+    for ref in doc_refs:
+        t = ref if isinstance(ref, pa.Table) else ray.get(ref)
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did in needed:
+                lut[int(did)] = frozenset(_shingle_hashes(text, k).tolist())
+    return lut
+
+
+def _jaccard_verify_broadcast(docs, candidates, k, threshold) -> rd.Dataset:
+    cand = candidates.select_columns(["a", "b"]).to_pandas()
+    needed = frozenset(map(int, set(cand["a"]) | set(cand["b"])))
+    lut_ref = _shingle_lut.remote(
+        docs.select_columns(["doc_id", "text"]).to_arrow_refs(), needed, k
+    )
 
     def _verify(t: pa.Table) -> pa.Table:
         lu = ray.get(lut_ref)
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        jac = np.array(
-            [
-                len(lu[x] & lu[y]) / max(1, len(lu[x] | lu[y]))
-                for x, y in zip(a, b)
-            ]
-        )
-        keep = jac >= threshold
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        common = np.array([len(lu[x] & lu[y]) for x, y in zip(a, b)], np.int64)
+        union = np.array([len(lu[x] | lu[y]) for x, y in zip(a, b)], np.int64)
+        keep, ppm = _jac_keep(common, union, threshold)
         return pa.table(
-            {
-                "a": pa.array(np.asarray(a)[keep]),
-                "b": pa.array(np.asarray(b)[keep]),
-                "jaccard": pa.array(np.round(jac[keep], 8)),
-            }
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "jac_ppm": pa.array(ppm[keep])}
         )
 
-    return rd.from_pandas(cand[["a", "b"]]).map_batches(_verify, batch_format="pyarrow")
+    return rd.from_pandas(cand).map_batches(_verify, batch_format="pyarrow")
+
+
+def _jaccard_verify_join(docs, candidates, k, threshold) -> rd.Dataset:
+    """Shuffle-join fallback: texts joined onto pairs, Jaccard per batch.
+    Join partition count guarded ≤ cpus//2 (join aggregator-actor
+    starvation, see edges.encode_edges)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nparts = max(2, cpus // 2)
+    agg_args = {"num_cpus": 0.5}
+    texts = docs.select_columns(["doc_id", "text"])
+    j = candidates.select_columns(["a", "b"]).join(
+        texts, join_type="inner", num_partitions=nparts, on=("a",),
+        right_on=("doc_id",), aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"text": "text_a"}).select_columns(["a", "b", "text_a"])
+    j = j.join(
+        texts, join_type="inner", num_partitions=nparts, on=("b",),
+        right_on=("doc_id",), aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"text": "text_b"}).select_columns(["a", "b", "text_a", "text_b"])
+
+    def _verify(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        common = np.empty(len(a), np.int64)
+        union = np.empty(len(a), np.int64)
+        for i, (ta, tb) in enumerate(zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())):
+            sa = frozenset(_shingle_hashes(ta, k).tolist())
+            sb = frozenset(_shingle_hashes(tb, k).tolist())
+            common[i] = len(sa & sb)
+            union[i] = len(sa | sb)
+        keep, ppm = _jac_keep(common, union, threshold)
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "jac_ppm": pa.array(ppm[keep])}
+        )
+
+    return j.map_batches(_verify, batch_format="pyarrow")
 
 
 # -- SimHash ----------------------------------------------------------------
 
+def _word_hash64(w: str) -> int:
+    """Lower 64 bits of md5, little-endian — exactly DuckDB's
+    `md5_number_lower(w)`, so the SQL oracle can rebuild signatures."""
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+
+
 class SimHasher:
-    """64-bit SimHash over word features (stateful stage)."""
+    """64-bit SimHash over word-occurrence features (stateful stage)."""
 
     def __init__(self):
-        pass
+        self._bitcols = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        acc = np.zeros(64, np.int64)
-        for w in text.split(" "):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+    def simhash(self, text: str) -> int:
+        words = text.split(" ")
+        hs = np.array([_word_hash64(w) for w in words], np.uint64)
+        bits = (hs[:, None] >> self._bitcols) & np.uint64(1)  # (W, 64)
+        acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+        return int(((acc > 0).astype(np.uint64) << self._bitcols).sum())
 
     def __call__(self, t: pa.Table) -> pa.Table:
         hs = [self.simhash(x) for x in t["text"].to_pylist()]
@@ -263,12 +333,17 @@ def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3,
         return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep],
                              "hamming": ham[keep].astype(np.int64)})
 
-    return (
+    from ..agg import grouped_apply
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], sort=False, as_index=False)["hamming"].min()
+
+    return grouped_apply(
         sigs.map_batches(_blocks, batch_format="pyarrow")
         .groupby(["blk", "key"])
-        .map_groups(_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_groups(_pairs, batch_format="pandas"),
+        ["a", "b"],
+        _dedup,
     )
 
 
@@ -321,7 +396,8 @@ def embedding_near_dups(
         ids = g["vec_id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64), "cos": []})
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
         vecs = np.stack(g["v"].to_numpy())
         sims = vecs @ vecs.T
         i, j = np.triu_indices(len(ids), 1)
@@ -331,10 +407,15 @@ def embedding_near_dups(
              "cos": np.round(sims[i, j][keep].astype(np.float64), 6)}
         )
 
-    return (
+    from ..agg import grouped_apply
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], sort=False, as_index=False)["cos"].min()
+
+    return grouped_apply(
         normed.map_batches(_codes, batch_format="pyarrow")
         .groupby(["probe", "code"])
-        .map_groups(_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Min("cos", alias_name="cos"))
+        .map_groups(_pairs, batch_format="pandas"),
+        ["a", "b"],
+        _dedup,
     )

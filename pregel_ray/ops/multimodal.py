@@ -116,3 +116,25 @@ def media_features(media: rd.Dataset, concurrency: int = 2,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def quantize_features(feats: rd.Dataset, scale: int = 10_000) -> rd.Dataset:
+    """(media_id, decoded, feature_q): features quantized to int64 at
+    `scale` — a hash-stable representation for golden-file comparison
+    (tests/make_golden.py reproduces it with an independent straight-numpy
+    implementation of the same spec)."""
+
+    def _q(t: pa.Table) -> pa.Table:
+        q = [
+            np.round(np.asarray(f, np.float32) * scale).astype(np.int64).tolist()
+            for f in t["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "decoded": t["decoded"],
+                "feature_q": pa.array(q, pa.list_(pa.int64())),
+            }
+        )
+
+    return feats.map_batches(_q, batch_format="pyarrow")

@@ -69,35 +69,42 @@ def fingerprints(docs: rd.Dataset) -> rd.Dataset:
 
 
 class LangId:
-    """Heuristic n-gram language ID (stateful actor stage: profiles built
-    once per actor). Tiny trigram profiles for the synthetic corpus's
-    lang tags; returns argmax-overlap language + a confidence."""
+    """Heuristic n-gram language ID (stateful actor stage: profiles held
+    once per actor). A text's score for a language is the COUNT of that
+    language's profile trigrams occurring in the text (substring
+    containment ≡ membership in the text's character-trigram set);
+    prediction = first language in profile order achieving the max count,
+    'und' when no profile trigram occurs. Integer hits → the DuckDB
+    oracle (`contains()` sums) matches exactly."""
 
-    PROFILES = {
-        "en": {"the", "and", "ing", "ion", "ent"},
-        "es": {"que", "los", "ent", "ión", "ado"},
-        "de": {"der", "die", "und", "sch", "ein"},
-        "fr": {"les", "que", "ent", "ion", "des"},
-    }
+    PROFILES = [
+        ("en", ["the", "and", "ing", "ion", "ent"]),
+        ("es", ["que", "los", "ent", "ión", "ado"]),
+        ("de", ["der", "die", "und", "sch", "ein"]),
+        ("fr", ["les", "que", "ent", "ion", "des"]),
+    ]
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+        self.profiles = [(lang, list(t)) for lang, t in self.PROFILES]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def score(text: str) -> tuple[str, float]:
-            grams = {text[i : i + 3] for i in range(max(0, len(text) - 2))}
-            best, bs = "und", 0.0
-            for lang, prof in self.profiles.items():
-                s = len(grams & prof) / len(prof)
-                if s > bs:
-                    best, bs = lang, s
-            return best, bs
-
-        out = batch["text"].map(score)
-        batch = batch[["doc_id"]].copy()
-        batch["lang_pred"] = out.map(lambda t: t[0])
-        batch["lang_conf"] = out.map(lambda t: t[1])
-        return batch
+        text = batch["text"]
+        hits = {}
+        for lang, grams in self.profiles:
+            h = np.zeros(len(batch), np.int64)
+            for g in grams:  # vectorized literal containment per trigram
+                h += text.str.contains(g, regex=False).to_numpy()
+            hits[lang] = h
+        mat = np.stack([hits[lang] for lang, _ in self.profiles])  # (L, B)
+        best_hits = mat.max(axis=0)
+        # first profile in order achieving the max (strict-> tie keeps earlier)
+        best_idx = mat.argmax(axis=0)
+        langs = np.array([lang for lang, _ in self.profiles])
+        pred = np.where(best_hits > 0, langs[best_idx], "und")
+        out = batch[["doc_id"]].copy()
+        out["lang_pred"] = pred
+        out["lang_hits"] = best_hits
+        return out
 
 
 def langid(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
@@ -106,30 +113,47 @@ def langid(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     )
 
 
+STOPWORDS = "the a an and or of to in is are was were be been it this that".split()
+
+
 class QualityScore:
-    """Stopword/length heuristics (stateful: stopword set + regex compiled
-    once per actor)."""
+    """Stopword/length heuristics (stateful: regexes compiled once per
+    actor). All outputs are integers so the DuckDB oracle matches exactly:
+
+        n_words  = # maximal [a-z]+ runs of the lowercased text
+        n_stop   = # of those runs that equal a stopword
+        sum_len  = total letters across runs
+        quality_ppm, with n = max(n_words, 1):
+            stop_x = min(n_stop*1e6 // n, 600_000)     # stop ratio, cap 0.6
+            dev    = min(|sum_len - 5n|*1e6 // n, 5e6) # |mean len - 5|, cap 5
+            quality_ppm = stop_x*5 // 6 + (5_000_000 - dev) // 10
+
+    (the round-1 float formula, re-expressed in exact integer arithmetic —
+    same signal: stop-ratio sweet spot + mean-word-length near 5)."""
 
     def __init__(self):
         import re
 
-        self.word = re.compile(r"[A-Za-z]+")
-        self.stop = frozenset(
-            "the a an and or of to in is are was were be been it this that".split()
-        )
+        self.word = re.compile(r"[a-z]+")
+        # maximal-run token equality via lookarounds (tokens are maximal
+        # letter runs, so non-letter boundaries delimit them)
+        alts = "|".join(sorted(STOPWORDS, key=len, reverse=True))
+        self.stop = re.compile(r"(?<![a-z])(?:%s)(?![a-z])" % alts)
+        self.letter = re.compile(r"[a-z]")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.findall(self.word)
-        n = toks.map(len).clip(lower=1)
-        stop_ratio = toks.map(lambda ws: sum(w in self.stop for w in ws)) / n
-        mean_len = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        low = batch["text"].str.lower()
+        n_words = low.str.count(self.word).to_numpy(np.int64)
+        n_stop = low.str.count(self.stop).to_numpy(np.int64)
+        sum_len = low.str.count(self.letter).to_numpy(np.int64)
+        n = np.maximum(n_words, 1)
+        stop_x = np.minimum(n_stop * 1_000_000 // n, 600_000)
+        dev = np.minimum(np.abs(sum_len - 5 * n) * 1_000_000 // n, 5_000_000)
         out = batch[["doc_id"]].copy()
-        out["stop_ratio"] = stop_ratio.astype(float)
-        out["mean_word_len"] = mean_len
-        out["quality"] = (
-            (stop_ratio.clip(0, 0.6) / 0.6) * 0.5
-            + (1.0 - (mean_len - 5.0).abs().clip(0, 5) / 5.0) * 0.5
-        ).astype(float)
+        out["n_words"] = n_words
+        out["n_stop"] = n_stop
+        out["sum_len"] = sum_len
+        out["quality_ppm"] = stop_x * 5 // 6 + (5_000_000 - dev) // 10
         return out
 
 

@@ -8,6 +8,15 @@ layouts all the way down).
 
 Result schemas use stable, named columns that match the DuckDB oracle
 SQL in __ray_entry__ exactly (driver hash-compare requirement).
+
+vid↔name mapping: one remote task builds sorted-vid / sorted-name arrays
+(plus name-rank arrays) from the vertices parquet — the arrays live in
+plasma (the driver only holds the ObjectRef) and every map_batches does
+a vectorized ``np.searchsorted`` / fancy-index lookup, never a Python
+dict loop. Above ``EngineConfig.broadcast_vertex_threshold`` vertices the
+same mapping is a ``Dataset.join`` (see edges.encode_edges for the
+partition-count guard); the broadcast is |V|-bounded like the reference's
+per-worker id space (/root/reference/pregel/mpool.lua:31-42).
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from .config import EngineConfig
@@ -29,11 +39,10 @@ from .graph import DIRECTED, UNDIRECTED, build_shards
 PAGERANK_DAMPING = 0.85
 PAGERANK_TOL = 1e-6
 PAGERANK_FIXED_ITERS = 20  # the SQL-oracle-matched fixed-iteration variant
+LPA_FIXED_ITERS = 20  # unrolled-SQL round count (early-stop is a fixed point)
 
 
 def default_cfg() -> EngineConfig:
-    import ray
-
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return EngineConfig(num_parts=max(16, 2 * cpus), num_buckets=max(8, cpus))
 
@@ -68,30 +77,95 @@ def shardset(sf_dir: str, variant: str = DIRECTED, cfg: EngineConfig | None = No
     return ss, p, cfg
 
 
-def _vid_names(p) -> pd.DataFrame:
-    return rd.read_parquet(os.path.join(p["graph"], "vertices")).to_pandas()
+# ---------------------------------------------------------------------------
+# vid↔name lookup (plasma-resident, vectorized)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _name_lut_task(vertices_dir: str, P: int) -> dict:
+    """Build the lookup arrays in a remote task — they stay in plasma.
+
+    vids/names: aligned, sorted by vid (searchsorted key).
+    ranks: aligned with vids — global rank of the vertex's name in
+        lexicographic name order (dense 0..n-1; used as LPA labels so the
+        engine's min-label tie-break equals min-NAME, which SQL can mirror).
+    names_sorted: names in rank order (rank → name decode).
+    ranks_by_part[p]: rank per local index (vid // P) for partition p.
+    """
+    import pyarrow.dataset as pds
+
+    t = pds.dataset(vertices_dir, format="parquet").to_table(columns=["vid", "name"])
+    vids = t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = np.asarray(t["name"].to_pylist(), dtype=str)
+    order = np.argsort(vids, kind="stable")
+    vids, names = vids[order], names[order]
+    name_order = np.argsort(names, kind="stable")
+    ranks = np.empty(len(vids), np.int64)
+    ranks[name_order] = np.arange(len(vids), dtype=np.int64)
+    parts = (vids % P).astype(np.int64)
+    lis = vids // P
+    ranks_by_part = {}
+    for p in np.unique(parts):
+        m = parts == p
+        arr = np.empty(int(m.sum()), np.int64)
+        arr[lis[m]] = ranks[m]
+        ranks_by_part[int(p)] = arr
+    return {
+        "vids": vids,
+        "names": names,
+        "ranks": ranks,
+        "names_sorted": names[name_order],
+        "ranks_by_part": ranks_by_part,
+    }
+
+
+def _name_lut_ref(p, cfg) -> "ray.ObjectRef":
+    return _name_lut_task.remote(os.path.join(p["graph"], "vertices"), cfg.num_parts)
+
+
+def _names_of(lut: dict, vid_arr: np.ndarray) -> np.ndarray:
+    return lut["names"][np.searchsorted(lut["vids"], vid_arr)]
+
+
+def _rename_vids(lut_ref, spec: dict[str, str], keep: list[str] = ()):
+    """map_batches fn factory: for each (out_col ← vid_col) in spec, add the
+    name column; pass `keep` columns through unchanged. Fully vectorized."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)  # zero-copy plasma read, node-cached
+        cols = {}
+        for out, src in spec.items():
+            cols[out] = pa.array(
+                _names_of(lut, t[src].to_numpy(zero_copy_only=False))
+            )
+        for k in keep:
+            cols[k] = t[k]
+        return pa.table(cols)
+
+    return _fn
+
+
+@ray.remote
+def _vid_of_name(lut_ref_inner: dict, name: str) -> int:
+    i = int(np.searchsorted(lut_ref_inner["names_sorted"], name))
+    # names_sorted[i] is name; its vid = vids[ranks == i] — invert via ranks
+    hits = np.flatnonzero(lut_ref_inner["ranks"] == i)
+    return int(lut_ref_inner["vids"][hits[0]])
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
 
 
 def edges_named(sf_dir: str) -> rd.Dataset:
     """(src_name, dst_name, w) — the materialized edge table in name space."""
-    import ray
-
     p, cfg, _ = build_graph(sf_dir)
-    verts = _vid_names(p)
-    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
-
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        return pa.table(
-            {
-                "src_name": pa.array([lut[v] for v in t["src"].to_pylist()]),
-                "dst_name": pa.array([lut[v] for v in t["dst"].to_pylist()]),
-                "w": t["w"],
-            }
-        )
-
+    lut_ref = _name_lut_ref(p, cfg)
     return rd.read_parquet(os.path.join(p["graph"], "edges")).map_batches(
-        _name, batch_format="pyarrow"
+        _rename_vids(lut_ref, {"src_name": "src", "dst_name": "dst"}, keep=["w"]),
+        batch_format="pyarrow",
     )
 
 
@@ -124,17 +198,14 @@ def _pagerank_result(sf_dir: str, fixed_iters: int | None, tol: float):
 def pagerank_fixed(sf_dir: str, iters: int = PAGERANK_FIXED_ITERS) -> rd.Dataset:
     """(name, rank) after exactly `iters` power iterations, round 6 —
     matched by the unrolled SQL oracle."""
-    import ray
-
     res, p, cfg = _pagerank_result(sf_dir, iters, 0.0)
-    verts = _vid_names(p)
-    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
+    lut_ref = _name_lut_ref(p, cfg)
 
     def _name(t: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
         return pa.table(
             {
-                "name": pa.array([lut[v] for v in t["vid"].to_pylist()]),
+                "name": pa.array(_names_of(lut, t["vid"].to_numpy(zero_copy_only=False))),
                 "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 6)),
             }
         )
@@ -144,28 +215,20 @@ def pagerank_fixed(sf_dir: str, iters: int = PAGERANK_FIXED_ITERS) -> rd.Dataset
 
 def pagerank_converged(sf_dir: str, tol: float = PAGERANK_TOL):
     """Full L1<tol convergence; returns (RunResult, named vertex Dataset)."""
-    import ray
-
     res, p, cfg = _pagerank_result(sf_dir, None, tol)
-    verts = _vid_names(p)
-    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
-
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        return pa.table(
-            {
-                "name": pa.array([lut[v] for v in t["vid"].to_pylist()]),
-                "rank": t["rank"],
-            }
-        )
-
-    return res, res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    lut_ref = _name_lut_ref(p, cfg)
+    named = res.vertex_table().map_batches(
+        _rename_vids(lut_ref, {"name": "vid"}, keep=["rank"]),
+        batch_format="pyarrow",
+    )
+    return res, named
 
 
 def pagerank_top20(sf_dir: str) -> pd.DataFrame:
-    _, named = pagerank_converged(sf_dir)
-    df = named.to_pandas()
-    df["rank"] = df["rank"].round(6)
+    """Top 20 of the FIXED-iteration PageRank (deterministic: rank rounded
+    to 6, ordered rank desc then name — exactly the SQL oracle's ORDER BY
+    over the unrolled power iteration)."""
+    df = pagerank_fixed(sf_dir, PAGERANK_FIXED_ITERS).to_pandas()
     df = df.sort_values(["rank", "name"], ascending=[False, True], ignore_index=True)
     return df.head(20)
 
@@ -174,71 +237,87 @@ def cc_labels(sf_dir: str) -> rd.Dataset:
     """(name, component) — component = lexicographically smallest member
     NAME (canonical across systems: the engine's internal min-vid label is
     remapped so the DuckDB oracle, which only knows names, can compare)."""
-    import ray
-
     from .agg import grouped_apply
     from .algorithms.cc import ConnectedComponents
 
     ss, p, cfg = shardset(sf_dir, UNDIRECTED)
     res = Engine(ss, cfg).run(ConnectedComponents())
-    verts = _vid_names(p)
-    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
+    lut_ref = _name_lut_ref(p, cfg)
 
-    def _name(t: pa.Table) -> pa.Table:
+    def _rank(t: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
+        idx = np.searchsorted(lut["vids"], t["vid"].to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                "name": pa.array([lut[v] for v in t["vid"].to_pylist()]),
+                "vid": t["vid"],
+                "rank": pa.array(lut["ranks"][idx]),
                 "label": t["label"],
             }
         )
 
-    named = res.vertex_table().map_batches(_name, batch_format="pyarrow").materialize()
+    ranked = res.vertex_table().map_batches(_rank, batch_format="pyarrow").materialize()
 
-    # canonical relabel: label(vid-min) → min member name; component count is
-    # small, so the mapping is a broadcast lookup
-    def _min_name(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("label", sort=False, as_index=False)["name"].min().rename(
-            columns={"name": "component"}
-        )
+    # canonical relabel: label → min member name-rank; component count is
+    # small, so the mapping broadcasts as two sorted arrays
+    def _min_rank(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("label", sort=False, as_index=False)["rank"].min()
 
-    mapping = grouped_apply(named, ["label"], _min_name).to_pandas()
-    map_ref = ray.put(dict(zip(mapping["label"], mapping["component"])))
+    mapping = grouped_apply(ranked, ["label"], _min_rank).to_pandas()
+    order = np.argsort(mapping["label"].to_numpy(), kind="stable")
+    map_ref = ray.put(
+        {
+            "labels": mapping["label"].to_numpy()[order],
+            "minrank": mapping["rank"].to_numpy()[order],
+        }
+    )
 
     def _relabel(t: pa.Table) -> pa.Table:
-        lut = ray.get(map_ref)
+        lut = ray.get(lut_ref)
+        mp = ray.get(map_ref)
+        vids = t["vid"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lut["vids"], vids)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        mr = mp["minrank"][np.searchsorted(mp["labels"], lab)]
         return pa.table(
             {
-                "name": t["name"],
-                "component": pa.array([lut[x] for x in t["label"].to_pylist()]),
+                "name": pa.array(lut["names"][idx]),
+                "component": pa.array(lut["names_sorted"][mr]),
             }
         )
 
-    return named.map_batches(_relabel, batch_format="pyarrow")
+    return ranked.map_batches(_relabel, batch_format="pyarrow")
 
 
 def cc_sizes(sf_dir: str) -> rd.Dataset:
-    from ray.data.aggregate import Count
+    from .agg import group_count
 
-    return cc_labels(sf_dir).groupby("component").aggregate(Count(alias_name="size"))
+    return group_count(cc_labels(sf_dir), ["component"], alias="size")
 
 
-def lpa_labels(sf_dir: str, max_iters: int = 20) -> rd.Dataset:
-    import ray
-
+def lpa_labels(sf_dir: str, max_iters: int = LPA_FIXED_ITERS) -> rd.Dataset:
+    """(name, cluster) — synchronous weighted LPA, labels initialized to
+    the vertex's global NAME-RANK (not vid): the engine's max-weight /
+    tie→min-label rule then equals max-weight / tie→min-NAME, which the
+    unrolled SQL oracle reproduces exactly. Early stop is a fixed point,
+    so the fixed `max_iters`-round SQL matches regardless of when the
+    engine stops."""
     from .algorithms.lpa import LabelPropagation
 
     ss, p, cfg = shardset(sf_dir, UNDIRECTED)
-    res = Engine(ss, cfg).run(LabelPropagation(max_iters=max_iters))
-    verts = _vid_names(p)
-    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
+    lut_ref = _name_lut_ref(p, cfg)
+    res = Engine(ss, cfg).run(
+        LabelPropagation(max_iters=max_iters, init_labels_ref=lut_ref)
+    )
 
     def _name(t: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
+        vids = t["vid"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lut["vids"], vids)
+        lab = t["label"].to_numpy(zero_copy_only=False)  # name ranks
         return pa.table(
             {
-                "name": pa.array([lut[v] for v in t["vid"].to_pylist()]),
-                "cluster": pa.array([lut[v] for v in t["label"].to_pylist()]),
+                "name": pa.array(lut["names"][idx]),
+                "cluster": pa.array(lut["names_sorted"][lab]),
             }
         )
 
@@ -249,25 +328,20 @@ def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) ->
     """(name, dist) — shortest paths from a hub vertex, fixed `iters`
     Bellman-Ford rounds (matched by the unrolled SQL oracle); only reached
     vertices are returned."""
-    import ray
-
     from .algorithms.sssp import ShortestPaths
 
     ss, p, cfg = shardset(sf_dir, DIRECTED)
-    verts = _vid_names(p)
-    source_vid = int(verts.loc[verts["name"] == source_name, "vid"].iloc[0])
+    lut_ref = _name_lut_ref(p, cfg)
+    source_vid = ray.get(_vid_of_name.remote(lut_ref, source_name))
     res = Engine(ss, cfg).run(ShortestPaths(source_vid=source_vid, max_iters=iters))
-    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
 
     def _name(t: pa.Table) -> pa.Table:
-        import ray as _r
-
-        lut = _r.get(lut_ref)
+        lut = ray.get(lut_ref)
         d = t["dist"].to_numpy(zero_copy_only=False)
         keep = np.isfinite(d)
         vids = t["vid"].to_numpy(zero_copy_only=False)[keep]
         return pa.table(
-            {"name": pa.array([lut[v] for v in vids]), "dist": pa.array(d[keep])}
+            {"name": pa.array(_names_of(lut, vids)), "dist": pa.array(d[keep])}
         )
 
     return res.vertex_table().map_batches(_name, batch_format="pyarrow")
@@ -275,26 +349,16 @@ def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) ->
 
 def triangles_per_vertex(sf_dir: str) -> rd.Dataset:
     """(name, triangles) — only vertices in ≥1 triangle."""
-    import ray
-
     from .algorithms.triangles import triangle_counts
 
     p, cfg, _ = build_graph(sf_dir)
     edges = rd.read_parquet(os.path.join(p["graph"], "edges"))
     pv = triangle_counts(edges, num_buckets=cfg.num_buckets)
-    verts = _vid_names(p)
-    lut_ref = ray.put(dict(zip(verts["vid"], verts["name"])))
-
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        return pa.table(
-            {
-                "name": pa.array([lut[v] for v in t["vid"].to_pylist()]),
-                "triangles": t["triangles"],
-            }
-        )
-
-    return pv.map_batches(_name, batch_format="pyarrow")
+    lut_ref = _name_lut_ref(p, cfg)
+    return pv.map_batches(
+        _rename_vids(lut_ref, {"name": "vid"}, keep=["triangles"]),
+        batch_format="pyarrow",
+    )
 
 
 def triangle_total_table(sf_dir: str) -> pd.DataFrame:

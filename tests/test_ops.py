@@ -75,7 +75,7 @@ def test_minhash_lsh_finds_planted_dups(ray_session, docs_pd):
         a = int(base["doc_id"].iloc[i])
         assert (a, a + 10_000) in got_pairs, f"missed exact dup {a}"
     exact_rows = verified[verified["b"] - verified["a"] == 10_000]
-    assert len(exact_rows) >= 10 and (exact_rows["jaccard"] == 1.0).all()
+    assert len(exact_rows) >= 10 and (exact_rows["jac_ppm"] == 1_000_000).all()
 
 
 def test_simhash_identical_zero_distance(docs_ds, docs_pd):
@@ -165,11 +165,30 @@ def test_multimodal_plumbing(ray_session):
     np.testing.assert_array_equal(a, b)
 
 
-def test_langid_and_quality_run(docs_ds):
-    from pregel_ray.ops.text import langid, quality_scores
+def test_langid_and_quality(docs_ds, docs_pd):
+    """Vectorized ops vs a straight per-row reimplementation of the spec."""
+    import re
 
-    l = langid(docs_ds).to_pandas()
-    q = quality_scores(docs_ds).to_pandas()
-    assert len(l) == len(q) == docs_ds.count()
-    assert l["lang_pred"].notna().all()
-    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    from pregel_ray.ops.text import STOPWORDS, LangId, langid, quality_scores
+
+    l = langid(docs_ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    q = quality_scores(docs_ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(l) == len(q) == len(docs_pd)
+
+    texts = docs_pd.sort_values("doc_id")["text"].tolist()
+    for i, text in enumerate(texts[:100]):
+        hits = {lang: sum(g in text for g in grams) for lang, grams in LangId.PROFILES}
+        best = max(hits.values())
+        pred = next((la for la, h in hits.items() if h == best), "und") if best else "und"
+        assert l["lang_pred"].iloc[i] == pred
+        assert l["lang_hits"].iloc[i] == best
+
+        toks = re.findall(r"[a-z]+", text.lower())
+        n_words, n_stop = len(toks), sum(t in STOPWORDS for t in toks)
+        sum_len = sum(map(len, toks))
+        n = max(n_words, 1)
+        stop_x = min(n_stop * 1_000_000 // n, 600_000)
+        dev = min(abs(sum_len - 5 * n) * 1_000_000 // n, 5_000_000)
+        row = q.iloc[i]
+        assert (row["n_words"], row["n_stop"], row["sum_len"]) == (n_words, n_stop, sum_len)
+        assert row["quality_ppm"] == stop_x * 5 // 6 + (5_000_000 - dev) // 10
