@@ -60,8 +60,13 @@ def grouped_apply(
         bk = (_hash_cols(t, keys) % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("__bk", pa.array(bk))
 
-    def _apply(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns="__bk"))
+    def _apply(g: pd.DataFrame) -> pa.Table:
+        # emit Arrow (metadata-stripped): keeps every block of the stream
+        # Arrow-typed, so Ray's schema unification never sees the
+        # unhashable pandas block schemas ("Failed to hash the schemas")
+        return pa.Table.from_pandas(
+            fn(g.drop(columns="__bk")), preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(_bk, batch_format="pyarrow")

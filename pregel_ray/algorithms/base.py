@@ -45,6 +45,15 @@ class Algorithm:
     def should_stop(self, metrics, superstep: int) -> bool:
         return metrics.active == 0 and metrics.nmsg == 0
 
+    def decode_state(self, cols: dict) -> dict:
+        """Per-vertex OUTPUT columns from one partition's state columns —
+        what vertex_table()/write_solution (the reference's S13
+        write_solution hook, vertex.lua:55-57) emits. Default: every
+        non-underscore numpy column (vectorized algorithms store plain
+        per-vertex arrays). Algorithms with encoded state (pickled values,
+        outboxes) override to decode (ComputeAlgorithm)."""
+        return {k: v for k, v in cols.items() if not k.startswith("_")}
+
     # -- aggregators (merged driver-side between supersteps; the merged dict
     #    is visible to the NEXT superstep via ctx["agg"] — matches the
     #    reference's available-in-S+1 contract, README.md:276-279) ---------

@@ -125,21 +125,32 @@ class Vertex:
         cur = self._aggs.get(name, agg.default)
         self._aggs[name] = agg.reduce(cur, value)
 
-    # worker context (per-run static object; the reference's per-worker
-    # mutable table, vertex.lua:211-213 — mutations do not persist here)
+    # worker context: the reference's per-worker MUTABLE object
+    # (vertex.lua:211-213, worker.lua:378,401). Here "worker" = partition:
+    # the object is carried in the partition's state chunk, so mutations by
+    # one vertex are visible to later vertices in the same partition the
+    # same superstep AND persist across supersteps (tested in
+    # test_compute_api.py::test_worker_context_persists).
     def get_worker_context(self):
-        return self._algo.worker_context
+        return self._ctx.get("_wctx")
 
     # topology mutation intents (vertex.lua:140-210) -----------------------
-    def add_vertex(self, value):
-        self._muts.append(("add_vertex", value))
+    def add_vertex(self, value, name: str | None = None):
+        """`name` is the reference's obtain_name contract: the new vertex's
+        partition derives from stable_hash(name) % P, and an add whose name
+        already exists is logged-and-skipped (worker.lua third-phase
+        dedup). Without a name the engine assigns an epoch-unique one."""
+        self._muts.append(("add_vertex", name, value))
 
     def add_edge(self, src_vid, dst_vid, value=1.0):
         self._muts.append(("add_edge", int(src_vid), int(dst_vid), float(value)))
 
     def delete_vertex(self, vid, edges: bool = False):
-        # cascading delete NIY in the reference too (vertex.lua:183)
-        assert edges is False, "cascading edge delete: match reference NIY"
+        """Tombstones the vertex and drops its OUT-edges (the reference's
+        data_space:delete drops the vertex tuple, whose edges are inline);
+        the cascading IN-edge delete is NIY exactly like the reference
+        (`assert(edges == false)`, vertex.lua:183)."""
+        assert edges is False, "cascading in-edge delete: match reference NIY"
         self._muts.append(("delete_vertex", int(vid)))
 
     def delete_edge(self, src_vid, dst_vid):
@@ -168,8 +179,11 @@ class ComputeAlgorithm(Algorithm):
         self.worker_context = worker_context
         self.halt_on_init = halt_on_init
 
-    # -- state layout: value_pkl (pickled list), halted uint8, outbox ------
+    # -- state layout: value_pkl (pickled list), halted uint8, outbox,
+    #    _wctx_pkl (the partition's mutable worker-context object) ---------
     def init(self, part, n_local, pmeta, ctx):
+        import copy
+
         P = ctx["P"]
         if callable(self.initial_value):
             vals = [self.initial_value(i * P + part) for i in range(n_local)]
@@ -181,6 +195,9 @@ class ComputeAlgorithm(Algorithm):
             "halted": halted,
             "outbox_dst": np.array([], np.int64),
             "outbox_pkl": _pack_obj([]),
+            # each partition ("worker") gets its own context instance,
+            # like the reference's per-worker table (worker.lua:378)
+            "_wctx_pkl": _pack_obj([copy.deepcopy(self.worker_context)]),
         }
         return state, {"active": int((halted == 0).sum())}
 
@@ -236,6 +253,14 @@ class ComputeAlgorithm(Algorithm):
         halted = state["halted"].copy()
         n = len(halted)
 
+        # unpickle the partition's worker context; mutations made through
+        # vertex.get_worker_context() are re-pickled into the new state
+        wctx = (
+            _unpack_obj(state["_wctx_pkl"])[0]
+            if "_wctx_pkl" in state else self.worker_context
+        )
+        ctx["_wctx"] = wctx
+
         dead = ctx.get("dead") or frozenset()
 
         # inbox per local vertex
@@ -280,6 +305,7 @@ class ComputeAlgorithm(Algorithm):
             "halted": halted,
             "outbox_dst": np.asarray([d for d, _ in out], np.int64),
             "outbox_pkl": _pack_obj([m for _, m in out]),
+            "_wctx_pkl": _pack_obj([wctx]),
         }
         metrics = {
             "active": int((halted == 0).sum()),
@@ -302,6 +328,14 @@ class ComputeAlgorithm(Algorithm):
         out["value_pkl"] = _pack_obj(vals)
         out["halted"] = halted
         return out
+
+    def decode_state(self, cols: dict) -> dict:
+        """Output = decoded vertex values + halt flags (outbox/context are
+        engine internals, not per-vertex results)."""
+        return {
+            "value": _unpack_obj(cols["value_pkl"]),
+            "halted": cols["halted"].astype(bool),
+        }
 
     def merge_agg(self, contribs):
         merged: dict[str, Any] = {}

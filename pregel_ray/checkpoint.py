@@ -35,7 +35,12 @@ def _dir(run_dir: str, superstep: int) -> str:
     return os.path.join(run_dir, f"superstep={superstep}")
 
 
-def write(run_dir: str, superstep: int, state: rd.Dataset, history, final: bool = False) -> None:
+def write(run_dir: str, superstep: int, state: rd.Dataset, history,
+          final: bool = False, engine_meta: dict | None = None) -> None:
+    """`engine_meta` carries the topology epoch (shard_dir, graph_source
+    dirs, mutation_epoch, dead tombstones) so a resume in a fresh process
+    continues on the MUTATED graph — the reference's box.snapshot covers
+    topology, so must we (SURVEY.md §2.1 S12)."""
     d = _dir(run_dir, superstep)
     if os.path.exists(os.path.join(d, "_SUCCESS")):
         return
@@ -60,6 +65,7 @@ def write(run_dir: str, superstep: int, state: rd.Dataset, history, final: bool 
     )
     with open(os.path.join(d, "metrics.json"), "w") as f:
         json.dump({"superstep": superstep, "final": final,
+                   "engine_meta": engine_meta,
                    "history": [m.to_dict() for m in history]}, f)
     with open(os.path.join(d, "_SUCCESS"), "w") as f:
         f.write("")
@@ -78,7 +84,7 @@ def completed_supersteps(run_dir: str) -> list[int]:
 
 
 def try_resume(run_dir: str):
-    """→ (next_superstep, state Dataset, history) or None."""
+    """→ (next_superstep, state Dataset, history, engine_meta|None) or None."""
     from .engine import Metrics
 
     done = completed_supersteps(run_dir)
@@ -93,4 +99,4 @@ def try_resume(run_dir: str):
         pass
     state = rd.read_parquet(os.path.join(d, "values")).materialize()
     history = [Metrics(**m) for m in meta["history"]]
-    return k + 1, state, history
+    return k + 1, state, history, meta.get("engine_meta")

@@ -31,6 +31,10 @@ class EngineConfig:
     # Data's fixed per-task launch cost (dominant at small data); at real
     # scale set ≈ num_parts so every partition scatters as its own task.
     state_blocks: int | None = None
+    # Hybrid scatter: a hub-split partition's sub-shards scatter as child
+    # Ray tasks instead of serially inside its apply task (engine.py
+    # _scatter_rows). Deterministic either way; off only for debugging.
+    parallel_scatter: bool = True
     # BSP loop
     max_supersteps: int = 200
     checkpoint_interval: int = 0  # 0 = only final; K = every K supersteps

@@ -83,6 +83,23 @@ class _Mailbox:
         return self.store.pop(superstep, {})
 
 
+@ray.remote
+def _scatter_one(algorithm, ctx, shard, gid, state, pmeta):
+    """One sub-shard's scatter as its own task — restores sub-shard
+    parallelism for hub-split partitions (the fused scatter otherwise
+    serializes a partition's sub-shards inside its apply task; the hub
+    partition was a ~0.2 s/superstep straggler at sf1.0). `shard`,
+    `state` and `pmeta` are passed as ObjectRefs, which Ray auto-derefs
+    into zero-copy plasma views at the worker."""
+    pmeta = pmeta if pmeta is not None else {}
+    out = []
+    for dst_part, cols in algorithm.scatter(shard, pmeta, state, ctx):
+        n = len(cols["dst"])
+        if n:
+            out.append(_row(dst_part, 1, gid, pack(cols), nmsg=n))
+    return out
+
+
 _ADJ_CACHE: dict = {}  # per-worker-process src-sorted adjacency cache
 
 
@@ -164,8 +181,9 @@ class RunResult:
     P: int
 
     def vertex_table(self, columns: list[str] | None = None) -> rd.Dataset:
-        """Per-vertex result Dataset (vid + state columns)."""
-        return state_to_vertices(self.state, self.P, columns)
+        """Per-vertex result Dataset (vid + the algorithm's decoded output
+        columns — Algorithm.decode_state)."""
+        return state_to_vertices(self.state, self.P, columns, self.algorithm)
 
     def write_solution(self, out_dir: str, columns: list[str] | None = None) -> None:
         """Write the per-vertex result as partitioned Parquet — the
@@ -174,18 +192,25 @@ class RunResult:
         self.vertex_table(columns).write_parquet(out_dir)
 
 
-def state_to_vertices(state: rd.Dataset, P: int, columns: list[str] | None = None) -> rd.Dataset:
+def state_to_vertices(
+    state: rd.Dataset, P: int, columns: list[str] | None = None, algorithm=None
+) -> rd.Dataset:
+    def _decode(cols: dict) -> dict:
+        if algorithm is not None:
+            return algorithm.decode_state(cols)
+        return {k: v for k, v in cols.items() if not k.startswith("_")}
+
     def _expand(t: pa.Table) -> pa.Table:
         outs = []
         for i in range(t.num_rows):
             part = t["part"][i].as_py()
-            cols = unpack(t["blob"][i].as_py())
-            names = columns or [k for k in cols if not k.startswith("_")]
-            n = len(cols[names[0]]) if names else 0
+            decoded = _decode(unpack(t["blob"][i].as_py()))
+            names = columns or list(decoded)
+            n = len(decoded[names[0]]) if names else 0
             vid = np.arange(n, dtype=np.int64) * P + part
             d = {"vid": pa.array(vid)}
             for k in names:
-                d[k] = pa.array(cols[k])
+                d[k] = pa.array(decoded[k])
             outs.append(pa.table(d))
         if not outs:
             return pa.table({"vid": pa.array([], pa.int64())})
@@ -228,9 +253,29 @@ class Engine:
         """Messages this partition sends given its (fresh) state — emitted as
         kind=1 chunk rows addressed to the destination partitions. Runs
         inside apply (fused scatter: messages computed while applying
-        superstep S are delivered at S+1, the reference's send semantics)."""
+        superstep S are delivered at S+1, the reference's send semantics).
+
+        Hybrid mode: a hub-split partition (>1 sub-shard) fans its
+        sub-shards out as child Ray tasks — the blocked ray.get releases
+        this task's CPU, so the children parallelize instead of running
+        serially inside the apply task. Results are collected in gid order:
+        bit-identical to the serial path."""
+        gids = shards_of_part.get(part, [])
+        if len(gids) > 1 and self.cfg.parallel_scatter:
+            slim = {k: v for k, v in ctx.items() if not k.startswith("_")}
+            state_ref = ray.put(state)
+            futs = [
+                _scatter_one.remote(
+                    algorithm, slim, refs[g], g, state_ref, meta_refs.get(part)
+                )
+                for g in gids
+            ]
+            out = []
+            for rows in ray.get(futs):
+                out.extend(rows)
+            return out
         out = []
-        for gid in shards_of_part.get(part, []):
+        for gid in gids:
             shard = ray.get(refs[gid])  # zero-copy plasma views
             for dst_part, cols in algorithm.scatter(shard, pmeta, state, ctx):
                 n = len(cols["dst"])
@@ -319,18 +364,29 @@ class Engine:
         """Apply topology mutations at the superstep boundary in the
         reference's deterministic order — delete edges, delete vertices,
         add vertices, add edges (worker.lua:197-309) — then rebuild the
-        CSR shard store and extend per-part state for new vertices.
+        CSR shards of ONLY the affected partitions and extend per-part
+        state for new vertices.
 
-        delete_vertex requires the vertex to have no remaining out-edges
-        (the reference asserts cascading delete NIY, vertex.lua:183);
-        conflicts are logged and skipped like the reference's
-        "exists"/"not exists" logs. Deleted vertices are tombstoned: they
-        stop computing and inbound messages are dropped (M3 semantics)."""
+        Dataset-native: the edge table is never materialized on the
+        driver — deletes are a broadcast-set streaming filter, adds a
+        small union, and the rebuilt epoch reuses every untouched
+        partition's shard files (graph.build_shards_delta). Only the
+        intent lists and the rows they delete (bounded by the intents'
+        incident edges) pass through the driver.
+
+        delete_vertex tombstones the vertex and drops its OUT-edges —
+        the reference's data_space:delete semantics; the cascading
+        IN-edge delete stays NIY exactly like the reference
+        (vertex.lua:183). Inbound messages to tombstones are dropped (M3).
+        add_vertex carries an optional user NAME (the reference's
+        obtain_name contract): part = stable_hash(name) % P, and adds
+        whose name already exists are logged-and-skipped like the
+        reference's third-phase "exists" dedup (worker.lua:270-285)."""
         import logging
 
-        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        from .graph import build_shards
+        from .graph import DIRECTED, UNDIRECTED, build_shards_delta
 
         if self.graph_source is None:
             raise RuntimeError(
@@ -339,103 +395,169 @@ class Engine:
             )
         log = logging.getLogger("pregel_ray.mutations")
         gs = self.graph_source
-        edges_pd = rd.read_parquet(gs["edges_dir"]).to_pandas()
+        P = self.shards.P
+        n_local = dict(self.shards.n_local)
+        undirected = not algorithm.directed
 
         # deterministic intent order within each phase
-        del_edges = sorted(m[1:] for m in muts if m[0] == "delete_edge")
-        del_vertices = sorted(m[1] for m in muts if m[0] == "delete_vertex")
-        add_vertices = [m[1] for m in muts if m[0] == "add_vertex"]
+        del_edges = sorted((int(m[1]), int(m[2])) for m in muts if m[0] == "delete_edge")
+        del_vertices = sorted(int(m[1]) for m in muts if m[0] == "delete_vertex")
+        add_vertices = [m[1:] for m in muts if m[0] == "add_vertex"]  # (name, value)
         add_edges = sorted(m[1:] for m in muts if m[0] == "add_edge")
 
-        # 1. delete edges
-        for src, dst in del_edges:
-            hit = (edges_pd["src"] == src) & (edges_pd["dst"] == dst)
-            if not hit.any():
-                log.warning("delete_edge (%s,%s): not exists", src, dst)
-            edges_pd = edges_pd[~hit]
+        edges = rd.read_parquet(gs["edges_dir"])
+        affected: set[int] = set()
 
-        # 2. delete vertices (no-cascade contract)
-        for vid in del_vertices:
-            if ((edges_pd["src"] == vid) | (edges_pd["dst"] == vid)).any():
-                log.warning("delete_vertex %s: has edges, skipped (cascade NIY)", vid)
-                continue
-            self.dead.add(int(vid))
+        # -- phases 1+2: deletes. One streaming pass COLLECTS the matching
+        # rows (small: bounded by the intents' incident edges) for conflict
+        # logging + affected-part discovery; a second streaming pass filters.
+        del_pairs = frozenset(del_edges)
+        del_vids = frozenset(del_vertices)
 
-        # 3. add vertices: append to per-part dense id space
-        new_local: dict[int, list] = {}
-        n_local = dict(self.shards.n_local)
-        P = self.shards.P
-        import pickle as _p
+        del_vids_arr = np.fromiter(del_vids, np.int64, len(del_vids))
+        pair_src = np.fromiter((s for s, _ in del_pairs), np.int64, len(del_pairs))
+        pair_dst = np.fromiter((d for _, d in del_pairs), np.int64, len(del_pairs))
 
-        for value in add_vertices:
-            part = int(
-                int.from_bytes(
-                    __import__("hashlib").blake2b(_p.dumps(value), digest_size=4).digest(),
-                    "little",
+        def _sel(t: pa.Table) -> np.ndarray:
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            hit = np.isin(src, del_vids_arr)
+            if del_pairs:
+                # vectorized candidate prefilter, exact set test on the
+                # (small) candidate rows only
+                cand = np.flatnonzero(np.isin(src, pair_src) & np.isin(dst, pair_dst))
+                for i in cand:
+                    if (int(src[i]), int(dst[i])) in del_pairs:
+                        hit[i] = True
+            return hit
+
+        if del_pairs or del_vids:
+            def _matches(t: pa.Table) -> pa.Table:
+                return t.filter(pa.array(_sel(t)))
+
+            deleted = edges.map_batches(_matches, batch_format="pyarrow").take_all()
+            found_pairs = {(r["src"], r["dst"]) for r in deleted}
+            for s, d in del_pairs - found_pairs:
+                log.warning("delete_edge (%s,%s): not exists", s, d)
+            for r in deleted:
+                affected.add(int(r["src"]) % P)
+                if undirected:
+                    affected.add(int(r["dst"]) % P)
+            self.dead.update(del_vids)
+
+            def _filt(t: pa.Table) -> pa.Table:
+                return t.filter(pa.array(~_sel(t)))
+
+            edges = edges.map_batches(_filt, batch_format="pyarrow")
+
+        # -- phase 3: add vertices. Name-derived partition (edges.py
+        # partitioner); dedupe against existing names via one streaming
+        # containment check of the (small) added-name set.
+        from .edges import stable_hash
+
+        new_local: dict[int, list] = {}  # part -> [(vid, name, value)]
+        if add_vertices:
+            names = [
+                n if n is not None else f"__added_e{self._mutation_epoch + 1}_{i}"
+                for i, (n, _) in enumerate(add_vertices)
+            ]
+            name_set = set(names)
+
+            def _existing(t: pa.Table) -> pa.Table:
+                return t.select(["name"]).filter(
+                    pc.is_in(t["name"], value_set=pa.array(sorted(name_set)))
                 )
-                % P
-            )
-            vid = n_local.get(part, 0) * P + part
-            n_local[part] = n_local.get(part, 0) + 1
-            new_local.setdefault(part, []).append((vid, value))
 
-        # 4. add edges
-        import pandas as pd
-
-        if add_edges:
-            known = set(
-                rd.read_parquet(gs["vertices_dir"]).to_pandas()["vid"]
-            ) | {v for adds in new_local.values() for v, _ in adds}
-            rows = []
-            for src, dst, w in add_edges:
-                if src not in known or dst not in known:
-                    log.warning("add_edge (%s,%s): vertex not exists, skipped", src, dst)
+            taken = {
+                r["name"]
+                for r in rd.read_parquet(gs["vertices_dir"])
+                .map_batches(_existing, batch_format="pyarrow")
+                .take_all()
+            }
+            seen: set = set()
+            for name, (_, value) in sorted(
+                zip(names, add_vertices), key=lambda x: x[0]
+            ):
+                if name in taken or name in seen:
+                    log.warning("add_vertex %r: exists, skipped", name)
                     continue
-                rows.append({"src": src, "dst": dst, "w": w})
-            if rows:
-                edges_pd = pd.concat([edges_pd, pd.DataFrame(rows)], ignore_index=True)
+                seen.add(name)
+                part = int(stable_hash(np.array([name], object))[0] % P)
+                vid = n_local.get(part, 0) * P + part
+                n_local[part] = n_local.get(part, 0) + 1
+                new_local.setdefault(part, []).append((vid, name, value))
+                affected.add(part)  # meta arrays are n_local-sized
 
-        # persist the mutated edge table + rebuild shards (fresh epoch dir)
+        # -- phase 4: add edges. Endpoint validity is ARITHMETIC — vids are
+        # dense per part (vid // P < n_local[vid % P]) — no table lookup.
+        def _vid_ok(v: int) -> bool:
+            return (
+                v >= 0 and (v // P) < n_local.get(v % P, 0) and v not in self.dead
+            )
+
+        add_rows = []
+        for src, dst, w in add_edges:
+            if not (_vid_ok(int(src)) and _vid_ok(int(dst))):
+                log.warning("add_edge (%s,%s): vertex not exists, skipped", src, dst)
+                continue
+            add_rows.append((int(src), int(dst), float(w)))
+            affected.add(int(src) % P)
+            if undirected:
+                affected.add(int(dst) % P)
+        if add_rows:
+            adds = pa.table(
+                {
+                    "src": pa.array([r[0] for r in add_rows], pa.int64()),
+                    "dst": pa.array([r[1] for r in add_rows], pa.int64()),
+                    "w": pa.array([r[2] for r in add_rows], pa.float64()),
+                }
+            )
+            edges = edges.union(rd.from_arrow(adds))
+
+        # -- persist the epoch: streaming parquet writes, delta shard build
         self._mutation_epoch += 1
         epoch_dir = os.path.join(gs["work_dir"], f"epoch{self._mutation_epoch}")
-        os.makedirs(epoch_dir, exist_ok=True)
         new_edges_dir = os.path.join(epoch_dir, "edges")
-        os.makedirs(new_edges_dir, exist_ok=True)
-        import pyarrow.parquet as pq
+        edges.write_parquet(new_edges_dir)
+        from .edges import EDGE_SCHEMA, _ensure_parquet_dir
 
-        pq.write_table(pa.Table.from_pandas(edges_pd, preserve_index=False),
-                       os.path.join(new_edges_dir, "edges.parquet"))
+        _ensure_parquet_dir(new_edges_dir, EDGE_SCHEMA)
         gs["edges_dir"] = new_edges_dir
 
-        verts_pd = rd.read_parquet(gs["vertices_dir"]).to_pandas()
-        if new_local:
-            rows = [
-                {"name": f"__added_{vid}", "part": np.int32(p), "vid": vid}
-                for p, adds in new_local.items()
-                for vid, _ in adds
-            ]
-            verts_pd = pd.concat([verts_pd, pd.DataFrame(rows)], ignore_index=True)
         new_verts_dir = os.path.join(epoch_dir, "vertices")
-        os.makedirs(new_verts_dir, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(verts_pd, preserve_index=False),
-                       os.path.join(new_verts_dir, "vertices.parquet"))
+        verts = rd.read_parquet(gs["vertices_dir"])
+        if new_local:
+            vt = pa.table(
+                {
+                    "name": pa.array(
+                        [name for lst in new_local.values() for _, name, _ in lst]
+                    ),
+                    "part": pa.array(
+                        [p for p, lst in new_local.items() for _ in lst], pa.int32()
+                    ),
+                    "vid": pa.array(
+                        [vid for lst in new_local.values() for vid, _, _ in lst],
+                        pa.int64(),
+                    ),
+                }
+            )
+            verts = verts.union(rd.from_arrow(vt))
+        verts.write_parquet(new_verts_dir)
         gs["vertices_dir"] = new_verts_dir
 
-        variant = "directed" if algorithm.directed else "undirected"
-        from .graph import DIRECTED, UNDIRECTED
-
-        self.shards = build_shards(
+        self.shards = build_shards_delta(
+            self.shards,
             rd.read_parquet(new_edges_dir),
-            rd.read_parquet(new_verts_dir),
             os.path.join(epoch_dir, "shards"),
             self.cfg,
+            affected,
+            n_local,
             variant=DIRECTED if algorithm.directed else UNDIRECTED,
         )
         refs, meta_refs = self.shards.load_refs()
 
         # extend per-part state for the added vertices + propagate tombstones
-        dead = set(self.dead)
-        adds = {p: [v for _, v in lst] for p, lst in new_local.items()}
+        adds = {p: [val for _, _, val in lst] for p, lst in new_local.items()}
 
         def _extend(t: pa.Table) -> pa.Table:
             rows = []
@@ -538,7 +660,14 @@ class Engine:
         from . import checkpoint as ckpt
 
         params = {**self.cfg.params, **(params or {})}
-        refs, meta_refs = self.shards.load_refs()
+
+        def _engine_meta() -> dict:
+            return {
+                "shard_dir": self.shards.shard_dir,
+                "mutation_epoch": self._mutation_epoch,
+                "dead": sorted(self.dead),
+                "graph_source": dict(self.graph_source) if self.graph_source else None,
+            }
 
         start = 1
         state = prev = None
@@ -546,14 +675,25 @@ class Engine:
         if run_dir and resume:
             resumed = ckpt.try_resume(run_dir)
             if resumed is not None:
-                start, state, history = resumed
+                start, state, history, emeta = resumed
+                # restore the topology epoch the checkpoint was taken on —
+                # a mutated-then-resumed run must continue on the mutated
+                # graph, not the ShardSet the Engine was constructed with
+                if emeta:
+                    if emeta["shard_dir"] != self.shards.shard_dir:
+                        self.shards = ShardSet(emeta["shard_dir"])
+                    self._mutation_epoch = int(emeta.get("mutation_epoch", 0))
+                    self.dead = set(emeta.get("dead", ()))
+                    if emeta.get("graph_source"):
+                        self.graph_source = dict(emeta["graph_source"])
                 prev, agg = self._collect(state, start - 1, algorithm)
                 prev = history[-1] if history else prev
+        refs, meta_refs = self.shards.load_refs()
         if state is None:
             state, prev, agg = self.init_state(algorithm, params)
             history = [prev]
             if run_dir:
-                ckpt.write(run_dir, 0, state, history)
+                ckpt.write(run_dir, 0, state, history, engine_meta=_engine_meta())
             start = 1
 
         converged = False
@@ -603,13 +743,14 @@ class Engine:
                 state, refs, meta_refs = self._apply_mutations(muts, state, algorithm)
 
             if run_dir and self.cfg.checkpoint_interval and s % self.cfg.checkpoint_interval == 0:
-                ckpt.write(run_dir, s, state, history)
+                ckpt.write(run_dir, s, state, history, engine_meta=_engine_meta())
             if algorithm.should_stop(prev, s):
                 converged = True
                 break
 
         if run_dir:
-            ckpt.write(run_dir, s, state, history, final=True)
+            ckpt.write(run_dir, s, state, history, final=True,
+                       engine_meta=_engine_meta())
         return RunResult(
             state=state,
             history=history,

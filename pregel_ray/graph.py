@@ -164,6 +164,15 @@ class ShardSet:
         self.n_local: dict[int, int] = {int(k): v for k, v in m["n_local"].items()}
         # manifest order defines the global shard id (determinism anchor)
         self.shards: list[dict] = m["shards"]
+        # meta paths recorded per part so delta builds can point unaffected
+        # parts at a previous epoch's immutable files; fall back to the
+        # derived in-dir path for manifests written before this field
+        self.meta_paths: dict[int, str] = {
+            int(k): v for k, v in m.get("meta_paths", {}).items()
+        } or {
+            p: os.path.join(shard_dir, f"part{p:06d}.meta.npz")
+            for p in self.n_local
+        }
         self.shards_of_part: dict[int, list[int]] = {}
         for gid, srow in enumerate(self.shards):
             self.shards_of_part.setdefault(srow["part"], []).append(gid)
@@ -175,8 +184,7 @@ class ShardSet:
         if self._refs is None:
             self._refs = {gid: _load_npz.remote(s["path"]) for gid, s in enumerate(self.shards)}
             self._meta_refs = {
-                p: _load_npz.remote(os.path.join(self.shard_dir, f"part{p:06d}.meta.npz"))
-                for p in sorted(self.n_local)
+                p: _load_npz.remote(self.meta_paths[p]) for p in sorted(self.n_local)
             }
         return self._refs, self._meta_refs
 
@@ -206,11 +214,37 @@ def build_shards(
     if variant == UNDIRECTED:
         edges = symmetrize(edges)
 
+    manifest_rows = _build_parts_shards(
+        edges, None, P, n_local_map, cfg.max_edges_per_shard, shard_dir
+    )
+    _write_manifest(
+        shard_dir, P, n_vertices, n_local_map, manifest_rows,
+        meta_paths={
+            p: os.path.join(shard_dir, f"part{p:06d}.meta.npz") for p in n_local_map
+        },
+    )
+    return ShardSet(shard_dir)
+
+
+def _build_parts_shards(
+    edges: rd.Dataset, only_parts: set[int] | None, P: int,
+    n_local_map: dict[int, int], max_edges: int, shard_dir: str,
+) -> pd.DataFrame:
+    """Shard-build fan-out: partition edges by src part (optionally only
+    `only_parts`), build each part's CSR shard files, write meta files for
+    the (selected) parts that have vertices but no out-edges."""
     import pyarrow as pa
 
     def _with_part(t: pa.Table) -> pa.Table:
         part = (t["src"].to_numpy(zero_copy_only=False) % P).astype(np.int32)
-        return t.append_column("part", pa.array(part))
+        t = t.append_column("part", pa.array(part))
+        if only_parts is not None:
+            t = t.filter(
+                pa.compute.is_in(
+                    t["part"], value_set=pa.array(sorted(only_parts), pa.int32())
+                )
+            )
+        return t
 
     manifest_rows = (
         edges.map_batches(_with_part, batch_format="pyarrow")
@@ -221,21 +255,26 @@ def build_shards(
             fn_kwargs={
                 "P": P,
                 "n_local_map": n_local_map,
-                "max_edges": cfg.max_edges_per_shard,
+                "max_edges": max_edges,
                 "out_dir": shard_dir,
             },
         )
         .to_pandas()
     )
-    # parts with vertices but no out-edges still need a meta file
     seen = set(manifest_rows["part"].astype(int)) if len(manifest_rows) else set()
-    for p, n in n_local_map.items():
+    targets = n_local_map.keys() if only_parts is None else only_parts
+    for p in targets:
         if p not in seen:
+            n = n_local_map.get(p, 0)
             _atomic_savez(
                 os.path.join(shard_dir, f"part{p:06d}.meta.npz"),
                 out_deg=np.zeros(n, np.int64),
                 out_w=np.zeros(n, np.float64),
             )
+    return manifest_rows
+
+
+def _write_manifest(shard_dir, P, n_vertices, n_local_map, manifest_rows, meta_paths):
     manifest_rows = manifest_rows.sort_values(["part", "shard"], ignore_index=True)
     manifest = {
         "P": P,
@@ -243,9 +282,58 @@ def build_shards(
         "n_edges": int(manifest_rows["n_edges"].sum()) if len(manifest_rows) else 0,
         "n_local": {str(p): int(n) for p, n in sorted(n_local_map.items())},
         "shards": manifest_rows.to_dict("records"),
+        "meta_paths": {str(p): path for p, path in sorted(meta_paths.items())},
     }
+    manifest_path = os.path.join(shard_dir, "manifest.json")
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, manifest_path)
+
+
+def build_shards_delta(
+    old: ShardSet,
+    edges: rd.Dataset,
+    shard_dir: str,
+    cfg: EngineConfig,
+    affected: set[int],
+    n_local_new: dict[int, int],
+    variant: str = DIRECTED,
+) -> ShardSet:
+    """Topology-mutation rebuild: re-shard ONLY the affected partitions
+    from the (already mutated) edge Dataset; unaffected partitions keep
+    their previous epoch's immutable shard/meta files by path. This is the
+    100 TB mutation shape — work scales with the touched partitions, not
+    the graph (SURVEY.md §2.6 T5 mapping)."""
+    manifest_path = os.path.join(shard_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        return ShardSet(shard_dir)
+    os.makedirs(shard_dir, exist_ok=True)
+    P = old.P
+    if variant == UNDIRECTED:
+        edges = symmetrize(edges)
+        # symmetrize moves every touched edge's reverse too: the caller
+        # must include both endpoint parts in `affected` for undirected
+
+    new_rows = _build_parts_shards(
+        edges, set(affected), P, n_local_new, cfg.max_edges_per_shard, shard_dir
+    )
+    kept = pd.DataFrame(
+        [s for s in old.shards if s["part"] not in affected],
+        columns=["part", "shard", "n_edges", "path"],
+    )
+    manifest_rows = pd.concat([kept, new_rows], ignore_index=True) if len(new_rows) else kept
+    meta_paths = {
+        p: (os.path.join(shard_dir, f"part{p:06d}.meta.npz")
+            if p in affected else old.meta_paths[p])
+        for p in n_local_new
+    }
+    # brand-new parts (first vertex added there) always build fresh meta
+    for p in n_local_new:
+        if p not in old.n_local and p not in affected:
+            meta_paths[p] = os.path.join(shard_dir, f"part{p:06d}.meta.npz")
+    _write_manifest(
+        shard_dir, P, int(sum(n_local_new.values())), n_local_new, manifest_rows,
+        meta_paths,
+    )
     return ShardSet(shard_dir)

@@ -78,7 +78,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
 def top_orders_with_customer(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Top-k orders by totalprice with the customer name attached —
-    broadcast hash join (small side via ray.put) + sort + limit."""
+    per-batch top-k partials + one tiny final fold (no global sort: only
+    k rows per input block ever shuffle), then a broadcast name join on
+    the k winners only."""
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet").to_pandas()
     name_col = "c_name" if "c_name" in cust.columns else cust.columns[1]
     lut_ref = ray.put(dict(zip(cust["c_custkey"], cust[name_col])))
@@ -87,15 +89,29 @@ def top_orders_with_customer(sf_dir: str, k: int = 10) -> rd.Dataset:
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
-    def _join(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        names = [lut.get(ck) for ck in t["o_custkey"].to_pylist()]
-        return t.append_column("c_name", pa.array(names, pa.string()))
+    def _partial(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        kk = min(k, len(price))
+        # top-k by (price desc, orderkey asc): lexsort then slice
+        idx = np.lexsort((okey, -price))[:kk]
+        return t.take(pa.array(np.sort(idx)))
 
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        lut = ray.get(lut_ref)
+        g = g.copy()
+        g["c_name"] = [lut.get(ck) for ck in g["o_custkey"]]
+        return g[["o_orderkey", "o_custkey", "o_totalprice", "c_name"]]
+
+    # single-group map_groups = the tiny final fold (≤ k rows per block)
+    partials = orders.map_batches(_partial, batch_format="pyarrow")
     return (
-        orders.map_batches(_join, batch_format="pyarrow")
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(k)
+        partials.map_batches(lambda t: t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int8))), batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(lambda g: _final(g.drop(columns="__g")), batch_format="pandas")
     )
 
 

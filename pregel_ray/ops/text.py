@@ -41,8 +41,13 @@ def lexical_stats(docs: rd.Dataset) -> rd.Dataset:
     def _f(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
         n = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        s = toks.to_pandas()
-        nd = s.map(lambda xs: len(set(xs))).to_numpy(np.int64)
+        # distinct-per-row without a Python set() per row: explode with
+        # parent indices, C-level drop_duplicates + bincount
+        tc = toks.combine_chunks()
+        flat = pd.Series(pc.list_flatten(tc).to_pandas())
+        parent = pc.list_parent_indices(tc).to_numpy(zero_copy_only=False)
+        uniq = pd.DataFrame({"p": parent, "w": flat}).drop_duplicates()
+        nd = np.bincount(uniq["p"].to_numpy(), minlength=t.num_rows).astype(np.int64)
         ppm = (nd * 1_000_000) // np.maximum(n, 1)
         return pa.table(
             {
@@ -101,10 +106,13 @@ class LangId:
         best_idx = mat.argmax(axis=0)
         langs = np.array([lang for lang, _ in self.profiles])
         pred = np.where(best_hits > 0, langs[best_idx], "und")
-        out = batch[["doc_id"]].copy()
-        out["lang_pred"] = pred
-        out["lang_hits"] = best_hits
-        return out
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(np.int64)),
+                "lang_pred": pa.array(pred),
+                "lang_hits": pa.array(best_hits),
+            }
+        )
 
 
 def langid(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
@@ -149,12 +157,15 @@ class QualityScore:
         n = np.maximum(n_words, 1)
         stop_x = np.minimum(n_stop * 1_000_000 // n, 600_000)
         dev = np.minimum(np.abs(sum_len - 5 * n) * 1_000_000 // n, 5_000_000)
-        out = batch[["doc_id"]].copy()
-        out["n_words"] = n_words
-        out["n_stop"] = n_stop
-        out["sum_len"] = sum_len
-        out["quality_ppm"] = stop_x * 5 // 6 + (5_000_000 - dev) // 10
-        return out
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(np.int64)),
+                "n_words": pa.array(n_words),
+                "n_stop": pa.array(n_stop),
+                "sum_len": pa.array(sum_len),
+                "quality_ppm": pa.array(stop_x * 5 // 6 + (5_000_000 - dev) // 10),
+            }
+        )
 
 
 def quality_scores(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
@@ -163,28 +174,40 @@ def quality_scores(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     )
 
 
-def rolling_fingerprint(docs: rd.Dataset, window: int = 16, base: int = 257,
-                        mod: int = (1 << 61) - 1) -> rd.Dataset:
+def rolling_fingerprint(docs: rd.Dataset, window: int = 16,
+                        base: int = 257) -> rd.Dataset:
     """(doc_id, rfp): Rabin-Karp rolling-hash document fingerprint — the
-    min rolling hash over byte windows (shingle-level signature)."""
+    min polynomial hash (mod 2^64, natural uint64 wraparound) over byte
+    windows. Fully vectorized: H[j] = B^(j+w-1) · (C[j+w] − C[j]) with
+    C the cumulative sum of b[i]·B⁻ⁱ — base 257 is odd, hence invertible
+    mod 2^64, so no per-byte Python loop."""
+    B = np.uint64(base)
+    Binv = np.uint64(pow(base, -1, 1 << 64))
+
+    def _rfp(b: np.ndarray) -> int:
+        n = len(b)
+        invpow = np.empty(n + 1, np.uint64)
+        invpow[0] = np.uint64(1)
+        np.cumprod(np.full(n, Binv, np.uint64), out=invpow[1:])
+        bpow = np.empty(n, np.uint64)
+        bpow[0] = np.uint64(1)
+        np.cumprod(np.full(n - 1, B, np.uint64), out=bpow[1:])
+        c = np.zeros(n + 1, np.uint64)
+        np.cumsum(b.astype(np.uint64) * invpow[:n], out=c[1:])
+        w = window
+        h = bpow[w - 1 :] * (c[w:] - c[:-w])  # all windows, wraparound exact
+        return int(h.min())
 
     def _f(t: pa.Table) -> pa.Table:
         out = np.zeros(t.num_rows, np.uint64)
         for i, s in enumerate(t["text"].to_pylist()):
-            b = s.encode()
+            b = np.frombuffer(s.encode(), np.uint8)
             if len(b) < window:
-                out[i] = int(hashlib.blake2b(b, digest_size=8).hexdigest(), 16)
-                continue
-            h = 0
-            pw = pow(base, window - 1, mod)
-            mn = None
-            for j, c in enumerate(b):
-                if j >= window:
-                    h = (h - b[j - window] * pw) % mod
-                h = (h * base + c) % mod
-                if j >= window - 1:
-                    mn = h if mn is None or h < mn else mn
-            out[i] = mn
+                out[i] = int.from_bytes(
+                    hashlib.blake2b(b.tobytes(), digest_size=8).digest(), "little"
+                )
+            else:
+                out[i] = _rfp(b)
         return pa.table({"doc_id": t["doc_id"], "rfp": pa.array(out.astype(np.int64))})
 
     return docs.map_batches(_f, batch_format="pyarrow")

@@ -64,6 +64,10 @@ def test_lineage_hashes_stable(ray_session, tmp_path):
     run1, run2 = str(tmp_path / "r1"), str(tmp_path / "r2")
     Engine(g.shards, cfg).run(PageRank(max_iters=5), run_dir=run1)
     Engine(g.shards, cfg).run(PageRank(max_iters=5), run_dir=run2)
-    l1 = rd.read_parquet(f"{run1}/superstep=5/lineage").to_pandas().sort_values("part")
-    l2 = rd.read_parquet(f"{run2}/superstep=5/lineage").to_pandas().sort_values("part")
+    # sort by the full identity: a part can carry several rows (state +
+    # message chunks) and their block order is not part of the contract —
+    # the guarantee is that the SET of blobs per (part, kind) is identical
+    key = ["part", "kind", "sha256"]
+    l1 = rd.read_parquet(f"{run1}/superstep=5/lineage").to_pandas().sort_values(key)
+    l2 = rd.read_parquet(f"{run2}/superstep=5/lineage").to_pandas().sort_values(key)
     assert list(l1["sha256"]) == list(l2["sha256"])  # deterministic state blobs

@@ -102,6 +102,57 @@ def test_vote_to_halt_superstep_count(ray_session, tmp_path):
     assert res.converged and res.supersteps == 1
 
 
+def test_worker_context_persists(ray_session, tmp_path):
+    """Reference parity (vertex.lua:211-213, worker.lua:378): the worker
+    context is a per-worker MUTABLE object — a mutation made at superstep S
+    must be observable at S+1 (and by later vertices of the same partition
+    within S). Here worker = partition; every vertex lands in one partition
+    with num_parts-aligned names, so counts are deterministic."""
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=1)  # one worker → one shared context
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+
+    def compute(v):
+        s = v.get_superstep()
+        wc = v.get_worker_context()
+        wc["seen"] = wc.get("seen", 0) + 1  # mutate the shared object
+        if s == 2:
+            # superstep 1 saw all 4 vertices; this vertex may also see
+            # earlier same-superstep mutations (reference: immediate
+            # local visibility) — so the floor is 4 + 1 (its own)
+            assert wc["seen"] >= 5, wc
+            v.set_value(float(wc["seen"]))
+        v.vote_halt(s >= 2)
+
+    algo = ComputeAlgorithm(compute=compute, initial_value=0.0,
+                            worker_context={})
+    res = Engine(g.shards, cfg).run(algo)
+    assert res.converged and res.supersteps == 2
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+    # last computed vertex of superstep 2 saw all 8 mutations (4/superstep)
+    assert vt["value"].max() == 8.0
+
+
+def test_write_solution_compute_algorithm(ray_session, tmp_path):
+    """S13 write_solution must work for per-vertex-API runs too: pickled
+    state decodes through Algorithm.decode_state instead of crashing on
+    the raw blob columns."""
+    import ray.data as rd
+
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+    algo = ComputeAlgorithm(compute=lambda v: (v.set_value(1.5), v.vote_halt(True)),
+                            initial_value=0.0)
+    res = Engine(g.shards, cfg).run(algo)
+    out = str(tmp_path / "solution")
+    res.write_solution(out)
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 4
+    assert set(back.columns) == {"vid", "value", "halted"}
+    assert (back["value"] == 1.5).all() and back["halted"].all()
+
+
 def test_aggregator_available_next_superstep(ray_session, tmp_path):
     """Aggregator reads must see the PREVIOUS superstep's merged value
     (reference README.md:276-279): superstep 1 reads the default, superstep 2

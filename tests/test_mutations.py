@@ -56,9 +56,11 @@ def test_mutations_end_to_end(ray_session, tmp_path):
     assert res.P == cfg.num_parts
 
 
-def test_delete_vertex_with_edges_is_skipped(ray_session, tmp_path):
-    """Cascading delete is NIY in the reference (vertex.lua:183) — a
-    delete_vertex on a vertex with edges logs and skips."""
+def test_delete_vertex_drops_out_edges(ray_session, tmp_path):
+    """Reference semantics (data_space:delete): the vertex tuple — and with
+    it its inline OUT-edge list — is dropped; the cascading IN-edge delete
+    stays NIY (vertex.lua:183). Deleting v1 of 0→1→2→3 must stop it
+    computing AND remove 1→2, so v2 never hears from it."""
     tbl = fixtures.g_line4()
     cfg = EngineConfig(num_parts=4)
     g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
@@ -68,11 +70,111 @@ def test_delete_vertex_with_edges_is_skipped(ray_session, tmp_path):
         s = v.get_superstep()
         v.set_value(v.get_value() + 1)
         if s == 1 and v.get_name() == V[0]:
-            v.delete_vertex(V[1])  # v1 has edges → must be skipped
+            v.delete_vertex(V[1])
+        if s == 2:
+            for _, dst, _ in v.pairs_edges():
+                v.send_message(dst, 100.0)
+        if s == 3:
+            for m in v.pairs_messages():
+                v.set_value(v.get_value() + m)
+        v.vote_halt(s >= 3)
+
+    algo = ComputeAlgorithm(compute=compute, initial_value=0.0)
+    res = Engine(g.shards, cfg, graph_source=g.graph_source).run(algo)
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+    vals = dict(zip(vt["vid"], vt["value"]))
+    assert vals[V[1]] == 1.0  # tombstoned after s1: stopped computing
+    assert vals[V[2]] == 3.0  # 1→2 cascade-deleted: no 100.0 received
+    assert vals[V[3]] == 103.0  # 2→3 still delivers
+
+
+def test_add_vertex_named_and_deduped(ray_session, tmp_path):
+    """add_vertex with a user name (obtain_name contract): partition
+    derives from the name hash; adding an existing name is skipped."""
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+    V = {i: int(v) for i, v in zip(g.ids, g.vid_of)}
+
+    def compute(v):
+        s = v.get_superstep()
+        v.set_value(v.get_value() + 1)
+        if s == 1 and v.get_name() == V[0]:
+            v.add_vertex(7.0, name="extra")
+            v.add_vertex(8.0, name="extra")  # dup name in same batch → skip
+            v.add_vertex(9.0, name="v00000001")  # existing name → skip
         v.vote_halt(s >= 2)
 
     algo = ComputeAlgorithm(compute=compute, initial_value=0.0)
     res = Engine(g.shards, cfg, graph_source=g.graph_source).run(algo)
     vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
     vals = dict(zip(vt["vid"], vt["value"]))
-    assert vals[V[1]] == 2.0  # kept computing: delete was refused
+    assert len(vals) == 5  # exactly ONE vertex added
+    new_vid = (set(vals) - set(V.values())).pop()
+    # the survivor is the first add (value 7.0), computed at s2 only
+    assert vals[new_vid] == 8.0
+
+    # its partition derives from stable_hash("extra") % P
+    from pregel_ray.edges import stable_hash
+
+    assert new_vid % cfg.num_parts == int(
+        stable_hash(np.array(["extra"], object))[0] % cfg.num_parts
+    )
+
+
+def test_mutation_survives_checkpoint_resume(ray_session, tmp_path):
+    """A run that mutated topology, checkpointed, and is resumed by a FRESH
+    Engine built from the ORIGINAL ShardSet must continue on the mutated
+    graph (checkpoint engine_meta carries the shard epoch + tombstones)."""
+    tbl = fixtures.g_line4()
+
+    def make(workdir):
+        cfg = EngineConfig(num_parts=4, checkpoint_interval=1)
+        return cfg, MicroGraph(tbl, workdir, cfg, n_vertices=4)
+
+    def compute(v):
+        s = v.get_superstep()
+        v.set_value(v.get_value() + 1)
+        if s == 1 and v.get_name() == V[0]:
+            v.delete_edge(V[0], V[1])
+            v.add_edge(V[0], V[3])
+        if s == 3:
+            for _, dst, _ in v.pairs_edges():
+                v.send_message(dst, 100.0)
+        if s == 4:
+            for m in v.pairs_messages():
+                v.set_value(v.get_value() + m)
+        v.vote_halt(s >= 4)
+
+    # uninterrupted reference run
+    cfg, g = make(str(tmp_path / "sA"))
+    V = {i: int(v) for i, v in zip(g.ids, g.vid_of)}
+    algo = ComputeAlgorithm(compute=compute, initial_value=0.0)
+    res_a = Engine(g.shards, cfg, graph_source=dict(g.graph_source)).run(
+        algo, run_dir=str(tmp_path / "runA")
+    )
+    vals_a = dict(
+        zip(*ComputeAlgorithm.values_from_state(res_a.state, cfg.num_parts)
+            .to_pandas()[["vid", "value"]].T.values)
+    )
+    assert vals_a[V[3]] == 204.0  # got 2→3 AND the new 0→3
+
+    # interrupted: run 2 supersteps (mutation applied at s1 boundary), then
+    # resume with a FRESH engine pointed at the ORIGINAL shards
+    cfg2, g2 = make(str(tmp_path / "sB"))
+    V = {i: int(v) for i, v in zip(g2.ids, g2.vid_of)}
+    algo2 = ComputeAlgorithm(compute=compute, initial_value=0.0)
+    cfg_short = EngineConfig(num_parts=4, checkpoint_interval=1, max_supersteps=2)
+    Engine(g2.shards, cfg_short, graph_source=dict(g2.graph_source)).run(
+        algo2, run_dir=str(tmp_path / "runB")
+    )
+    res_b = Engine(g2.shards, cfg2, graph_source=dict(g2.graph_source)).run(
+        ComputeAlgorithm(compute=compute, initial_value=0.0),
+        run_dir=str(tmp_path / "runB"), resume=True,
+    )
+    vals_b = dict(
+        zip(*ComputeAlgorithm.values_from_state(res_b.state, cfg2.num_parts)
+            .to_pandas()[["vid", "value"]].T.values)
+    )
+    assert vals_b[V[3]] == 204.0  # resumed on the MUTATED graph
+    assert vals_b[V[1]] == 4.0  # 0→1 stayed deleted after resume
