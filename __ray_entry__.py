@@ -429,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": lambda sf: R.q1_pricing_summary(sf),
         "top_orders_with_customer": lambda sf: R.top_orders_with_customer(sf),
         "events_hourly": lambda sf: R.events_hourly(sf),
+        "events_sliding_3h": lambda sf: R.events_sliding(sf, 3),
+        "events_error_click_asof": lambda sf: R.error_click_asof(sf),
         "supplier_nation_rollup": lambda sf: R.supplier_nation_rollup(sf),
     }
 
@@ -541,6 +543,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c100
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "events_sliding_3h": """
+            WITH fan AS (
+              SELECT event_type,
+                     date_trunc('hour', ts) - k * INTERVAL '1 hour' AS wstart,
+                     value
+              FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+            SELECT event_type, wstart, COUNT(*) AS n,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c100
+            FROM fan GROUP BY event_type, wstart""",
+        "events_error_click_asof": """
+            SELECT e.event_id, e.ts, e.user_id, c.ts AS click_ts
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'error') e
+            ASOF JOIN (SELECT ts, user_id FROM events
+                       WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts""",
         "supplier_nation_rollup": """
             SELECT r.r_name, n.n_name, COUNT(*) AS n_suppliers
             FROM supplier s

@@ -29,6 +29,12 @@ import numpy as np
 class Algorithm:
     name = "algorithm"
     directed = True  # which shard variant to build/load
+    # Opt-in to superstep chaining (engine.run: K supersteps as one lazy
+    # plan). Safe when (a) cross-step globals are only the engine-folded
+    # metrics/aggregators (they resolve through the mailbox in-flow) and
+    # (b) up to K-1 post-convergence steps are harmless. Mutating or
+    # driver-interactive algorithms leave this False.
+    supports_chaining = False
 
     # -- lifecycle ---------------------------------------------------------
     def init(self, part: int, n_local: int, pmeta: dict, ctx: dict):

@@ -23,6 +23,7 @@ from .base import Algorithm
 class ConnectedComponents(Algorithm):
     name = "cc"
     directed = False
+    supports_chaining = True  # metrics/agg-only cross-step globals
 
     def init(self, part, n_local, pmeta, ctx):
         P = ctx["P"]

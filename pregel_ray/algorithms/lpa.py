@@ -44,6 +44,7 @@ class LabelPropagation(Algorithm):
 
     name = "lpa"
     directed = False
+    supports_chaining = True  # metrics/agg-only cross-step globals
 
     def __init__(self, max_iters: int = 20, init_labels_ref=None):
         self.max_iters = max_iters

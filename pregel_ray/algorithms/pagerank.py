@@ -34,6 +34,7 @@ from .base import Algorithm
 class PageRank(Algorithm):
     name = "pagerank"
     directed = True
+    supports_chaining = True  # metrics/agg-only cross-step globals
 
     def __init__(self, damping: float = 0.85, tol: float = 1e-6, max_iters: int | None = None):
         self.damping = damping

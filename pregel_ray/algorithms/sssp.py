@@ -24,6 +24,7 @@ INF = np.inf
 class ShortestPaths(Algorithm):
     name = "sssp"
     directed = True
+    supports_chaining = True  # metrics/agg-only cross-step globals
 
     def __init__(self, source_vid: int, max_iters: int | None = None):
         self.source = int(source_vid)

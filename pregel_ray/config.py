@@ -35,6 +35,17 @@ class EngineConfig:
     # Ray tasks instead of serially inside its apply task (engine.py
     # _scatter_rows). Deterministic either way; off only for debugging.
     parallel_scatter: bool = True
+    # Superstep chaining: build this many supersteps as ONE lazy Ray Data
+    # plan and materialize once, amortizing the ~0.2 s per-execution
+    # executor overhead. Only algorithms declaring supports_chaining use
+    # it; 1 = classic per-superstep barrier. Exactness: fixed-iteration
+    # caps are clipped per chunk; convergence-stopped runs may compute
+    # ≤ K-1 extra steps (identity for quiescent vote-halt algorithms).
+    # DEFAULT 1: measured on one node (BENCH/BASELINE.md) a K-sort lazy
+    # plan splits the streaming executor's per-operator resource
+    # reservations and runs SLOWER than K separate executions (sf1.0
+    # @8 cpus: 38 s → 65 s at K=4); opt-in, semantics-tested either way.
+    chain_supersteps: int = 1
     # BSP loop
     max_supersteps: int = 200
     checkpoint_interval: int = 0  # 0 = only final; K = every K supersteps

@@ -71,13 +71,22 @@ class _Mailbox:
     """Per-run metrics/aggregator side-channel: apply tasks post their
     per-part metrics here so the driver reads them with one actor call
     instead of a second Dataset execution per superstep. Posts are
-    idempotent by (superstep, part) — task retries are safe."""
+    idempotent by (superstep, part) — task retries are safe.
+
+    With superstep chaining (one lazy plan covering K supersteps,
+    EngineConfig.chain_supersteps) the mailbox also serves the CHAINED
+    apply tasks: step S+1's apply reads step S's merged metrics/aggregates
+    with `get_all` — safe because the plan's sort stage is a barrier (every
+    step-S apply posted before any step-S+1 apply starts)."""
 
     def __init__(self):
         self.store: dict = {}
 
     def put(self, superstep: int, part: int, metrics: dict, agg: bytes) -> None:
         self.store.setdefault(superstep, {})[part] = (metrics, agg)
+
+    def get_all(self, superstep: int):
+        return self.store.get(superstep, {})
 
     def collect(self, superstep: int):
         return self.store.pop(superstep, {})
@@ -101,6 +110,7 @@ def _scatter_one(algorithm, ctx, shard, gid, state, pmeta):
 
 
 _ADJ_CACHE: dict = {}  # per-worker-process src-sorted adjacency cache
+_PREV_CACHE: dict = {}  # per-worker-process folded (metrics, agg) of chained steps
 
 
 def _part_adjacency(token: str, part: int, refs, shards_of_part, n_local_map):
@@ -284,66 +294,92 @@ class Engine:
         return out
 
     def _make_apply(self, algorithm, ctx, meta_refs, refs=None, shards_of_part=None,
-                    mailbox=None):
+                    mailbox=None, resolve_prev=False):
         needs_edges = getattr(algorithm, "needs_edges_in_apply", False)
         n_local_map = dict(self.shards.n_local)
         token = self.shards.shard_dir
 
         def apply(group: pa.Table) -> pa.Table:
-            kinds = group["kind"].to_numpy(zero_copy_only=False)
-            state_idx = np.flatnonzero(kinds == 0)
-            assert len(state_idx) == 1, f"expected 1 state row, got {len(state_idx)}"
-            i = int(state_idx[0])
-            part = int(group["part"][i].as_py())
-            state = unpack(group["blob"][i].as_py())
-
-            # deterministic message order: sort chunk rows by producing shard
-            msg_idx = np.flatnonzero(kinds == 1)
-            shards = group["shard"].to_numpy(zero_copy_only=False)
-            msg_idx = msg_idx[np.argsort(shards[msg_idx], kind="stable")]
-            msg_chunks = [unpack(group["blob"][int(j)].as_py()) for j in msg_idx]
-            if msg_chunks:
-                msgs = {}
-                for k in msg_chunks[0]:
-                    if k.endswith("_pkl"):
-                        lst: list = []
-                        for c in msg_chunks:
-                            lst.extend(unpack_obj(c[k]))
-                        msgs["_obj_" + k] = lst
-                    else:
-                        msgs[k] = np.concatenate([c[k] for c in msg_chunks])
+            if resolve_prev:
+                # chained superstep: the previous step's merged metrics /
+                # aggregates come from the mailbox instead of the driver
+                # (all posts landed — the upstream sort is a barrier);
+                # cached per worker process, one actor RTT per superstep
+                key = (ctx["_mbx_token"], ctx["superstep"] - 1)
+                hit = _PREV_CACHE.get(key)
+                if hit is None:
+                    posted = ray.get(mailbox.get_all.remote(ctx["superstep"] - 1))
+                    hit = self._fold_mailbox(posted, ctx["superstep"] - 1, algorithm)
+                    _PREV_CACHE[key] = hit
+                    for k in [k for k in _PREV_CACHE if k[1] < key[1] - 2]:
+                        _PREV_CACHE.pop(k, None)
+                prev_m, prev_agg = hit
+                local_ctx = dict(ctx)
+                local_ctx["prev"] = prev_m.to_dict()
+                local_ctx["agg"] = prev_agg
             else:
-                msgs = None
-
-            if needs_edges:
-                ctx["_adj"] = _part_adjacency(token, part, refs, shards_of_part, n_local_map)
-            pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
-            new_state, metrics, agg = algorithm.apply(part, pmeta, state, msgs, ctx)
-            # fused scatter: emit this partition's S+1 messages from the
-            # fresh state, so one groupby IS the whole superstep
-            rows = self._scatter_rows(
-                algorithm, ctx, refs, shards_of_part, meta_refs, part, new_state, pmeta
+                local_ctx = ctx
+            return self._apply_one(
+                algorithm, local_ctx, meta_refs, refs, shards_of_part, mailbox,
+                needs_edges, n_local_map, token, group,
             )
-            metrics = dict(metrics)
-            metrics["nmsg"] = int(sum(r["nmsg"] for r in rows))
-            agg_bytes = pickle.dumps(agg) if agg is not None else b""
-            if mailbox is not None:
-                # synchronous post: guarantees arrival before the barrier
-                ray.get(mailbox.put.remote(ctx["superstep"], part, metrics, agg_bytes))
-            rows.insert(
-                0,
-                _row(
-                    part, 0, -1, pack(new_state),
-                    active=metrics.get("active", 0),
-                    nmsg=metrics.get("nmsg", 0),
-                    m1=metrics.get("m1", 0.0),
-                    m2=metrics.get("m2", 0.0),
-                    agg=agg_bytes,
-                ),
-            )
-            return _table(rows)
 
         return apply
+
+    def _apply_one(self, algorithm, ctx, meta_refs, refs, shards_of_part, mailbox,
+                   needs_edges, n_local_map, token, group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        state_idx = np.flatnonzero(kinds == 0)
+        assert len(state_idx) == 1, f"expected 1 state row, got {len(state_idx)}"
+        i = int(state_idx[0])
+        part = int(group["part"][i].as_py())
+        state = unpack(group["blob"][i].as_py())
+
+        # deterministic message order: sort chunk rows by producing shard
+        msg_idx = np.flatnonzero(kinds == 1)
+        shards = group["shard"].to_numpy(zero_copy_only=False)
+        msg_idx = msg_idx[np.argsort(shards[msg_idx], kind="stable")]
+        msg_chunks = [unpack(group["blob"][int(j)].as_py()) for j in msg_idx]
+        if msg_chunks:
+            msgs = {}
+            for k in msg_chunks[0]:
+                if k.endswith("_pkl"):
+                    lst: list = []
+                    for c in msg_chunks:
+                        lst.extend(unpack_obj(c[k]))
+                    msgs["_obj_" + k] = lst
+                else:
+                    msgs[k] = np.concatenate([c[k] for c in msg_chunks])
+        else:
+            msgs = None
+
+        if needs_edges:
+            ctx["_adj"] = _part_adjacency(token, part, refs, shards_of_part, n_local_map)
+        pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
+        new_state, metrics, agg = algorithm.apply(part, pmeta, state, msgs, ctx)
+        # fused scatter: emit this partition's S+1 messages from the
+        # fresh state, so one groupby IS the whole superstep
+        rows = self._scatter_rows(
+            algorithm, ctx, refs, shards_of_part, meta_refs, part, new_state, pmeta
+        )
+        metrics = dict(metrics)
+        metrics["nmsg"] = int(sum(r["nmsg"] for r in rows))
+        agg_bytes = pickle.dumps(agg) if agg is not None else b""
+        if mailbox is not None:
+            # synchronous post: guarantees arrival before the barrier
+            ray.get(mailbox.put.remote(ctx["superstep"], part, metrics, agg_bytes))
+        rows.insert(
+            0,
+            _row(
+                part, 0, -1, pack(new_state),
+                active=metrics.get("active", 0),
+                nmsg=metrics.get("nmsg", 0),
+                m1=metrics.get("m1", 0.0),
+                m2=metrics.get("m2", 0.0),
+                agg=agg_bytes,
+            ),
+        )
+        return _table(rows)
 
     def _fold_mailbox(self, posted: dict, superstep: int, algorithm) -> tuple[Metrics, dict]:
         """Fold per-part (metrics, agg) posts — deterministic part order."""
@@ -704,39 +740,76 @@ class Engine:
             converged = True
             return RunResult(state=state, history=history, supersteps=s,
                              converged=True, algorithm=algorithm, P=self.shards.P)
-        for s in range(start, self.cfg.max_supersteps + 1):
+        # Superstep chaining: K supersteps build as ONE lazy plan (K chained
+        # groupby(part)→map_groups stages) and materialize once — the Ray
+        # Data per-execution overhead (~0.2 s: plan build, executor spin-up,
+        # stage scheduling) amortizes K×, which is what the N→4N efficiency
+        # of small/medium graphs is bound by (BENCH/BASELINE.md). Cross-step
+        # global scalars (prev metrics, merged aggregators) resolve through
+        # the mailbox INSIDE the plan; the sort stages are the barriers.
+        # Chaining is exact: fixed-iteration caps never overshoot (chunks
+        # clip at max_iters) and convergence-stopped algorithms run at most
+        # K-1 extra supersteps, which are identity for quiescent vote-halt
+        # algorithms and extra refinement for tolerance-based PageRank.
+        # Algorithms that mutate topology or need per-step driver decisions
+        # opt out via supports_chaining=False → K=1 (reference per-step
+        # barrier semantics, master.lua:54-88).
+        K = max(1, self.cfg.chain_supersteps) if getattr(
+            algorithm, "supports_chaining", False
+        ) else 1
+        algo_cap = getattr(algorithm, "max_iters", None) or self.cfg.max_supersteps
+        s = start - 1
+        while s < min(self.cfg.max_supersteps, algo_cap) and not converged:
             t0 = time.monotonic()
-            ctx = self._base_ctx(params)
-            ctx.update({"superstep": s, "prev": prev.to_dict(), "agg": agg,
-                        "dead": frozenset(self.dead)})
-            ctx["N"] = self.shards.n_vertices  # mutations may change it
-
-            # ONE groupby is the whole superstep: the state dataset already
-            # carries last superstep's message chunks (fused scatter), the
-            # part-shuffle routes them, apply reduces + computes + emits the
-            # next round's messages.
-            apply = self._make_apply(
-                algorithm, ctx, meta_refs, refs, self.shards.shards_of_part, mailbox
-            )
+            k_steps = min(K, self.cfg.max_supersteps - s, algo_cap - s)
+            if self.cfg.checkpoint_interval:
+                # land chunk ends exactly on checkpoint boundaries so the
+                # every-K-supersteps checkpoint contract survives chaining
+                k_steps = min(
+                    k_steps,
+                    self.cfg.checkpoint_interval - s % self.cfg.checkpoint_interval,
+                )
+            plan = state
+            mbx_token = mailbox._actor_id.hex()
+            for j in range(k_steps):
+                ss = s + 1 + j
+                ctx = self._base_ctx(params)
+                ctx.update({"superstep": ss, "dead": frozenset(self.dead),
+                            "_mbx_token": mbx_token})
+                ctx["N"] = self.shards.n_vertices  # mutations may change it
+                if j == 0:
+                    ctx.update({"prev": prev.to_dict(), "agg": agg})
+                # ONE groupby is one whole superstep: the state rows carry
+                # the previous step's message chunks (fused scatter), the
+                # part-shuffle routes them, apply reduces + computes + emits
+                # the next round's messages.
+                apply = self._make_apply(
+                    algorithm, ctx, meta_refs, refs, self.shards.shards_of_part,
+                    mailbox, resolve_prev=(j > 0),
+                )
+                plan = plan.groupby("part").map_groups(apply, batch_format="pyarrow")
             new_state = (
-                state.groupby("part")
-                .map_groups(apply, batch_format="pyarrow")
                 # bound block count (sort output inherits input block count;
                 # unbounded it compounds every superstep)
-                .repartition(self._state_blocks)
-                .materialize()
+                plan.repartition(self._state_blocks).materialize()
             )
             # hard lineage cut: rebuild from the materialized blocks so the
-            # next superstep's plan starts at Input — without this the union
+            # next chunk's plan starts at Input — without this the union
             # branch re-executes the whole superstep history (observed:
             # duration doubling per superstep from s7 on)
             new_state = rd.from_arrow_refs(new_state.to_arrow_refs())
-            prev, agg = self._fold_mailbox(
-                ray.get(mailbox.collect.remote(s)), s, algorithm
-            )
-            prev.duration = time.monotonic() - t0
-            history.append(prev)
+            chunk_dur = time.monotonic() - t0
             state = new_state
+            for j in range(k_steps):
+                ss = s + 1 + j
+                prev, agg = self._fold_mailbox(
+                    ray.get(mailbox.collect.remote(ss)), ss, algorithm
+                )
+                prev.duration = chunk_dur / k_steps
+                history.append(prev)
+                if algorithm.should_stop(prev, ss) and not converged:
+                    converged = True  # state includes ≤ K-1-j identity steps
+            s += k_steps
 
             muts = agg.pop("_mutations", None)
             if muts:
@@ -744,9 +817,6 @@ class Engine:
 
             if run_dir and self.cfg.checkpoint_interval and s % self.cfg.checkpoint_interval == 0:
                 ckpt.write(run_dir, s, state, history, engine_meta=_engine_meta())
-            if algorithm.should_stop(prev, s):
-                converged = True
-                break
 
         if run_dir:
             ckpt.write(run_dir, s, state, history, final=True,

@@ -119,18 +119,33 @@ def minhash_lsh_candidates(
     )
 
     def _bands(t: pa.Table) -> pa.Table:
-        ids, bids, bhs = [], [], []
-        for did, sig in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
-            s = np.asarray(sig, np.uint64)
-            for b in range(bands):
-                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(did)
-                bids.append(b)
-                bhs.append(int.from_bytes(bh, "little") >> 1)
+        """Vectorized band hashing: signatures come out of the list column
+        zero-copy, band hashes are a murmur-style uint64 mix folded across
+        the band's rows — no per-row Python, no per-band digest calls."""
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
+                 "bh": pa.array([], pa.int64())}
+            )
+        sig = (
+            t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .astype(np.uint64).reshape(n, bands, rows_per_band)
+        )
+        h = np.full((n, bands), 0xCBF29CE484222325, np.uint64)
+        fnv = np.uint64(1099511628211)
+        for r in range(rows_per_band):
+            x = sig[:, :, r].copy()
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            h = (h * fnv) ^ x
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "band": pa.array(bids, pa.int32()),
-             "bh": pa.array(bhs, pa.int64())}
+            {
+                "doc_id": pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bh": pa.array((h >> np.uint64(1)).astype(np.int64).ravel()),
+            }
         )
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -305,17 +320,20 @@ def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3,
     sigs = simhash_signatures(docs, concurrency)
 
     def _blocks(t: pa.Table) -> pa.Table:
-        ids, blk, key, sig = [], [], [], []
-        for did, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
-            hu = h & 0xFFFFFFFFFFFFFFFF
-            for b in range(4):
-                ids.append(did)
-                blk.append(b)
-                key.append((hu >> (16 * b)) & 0xFFFF)
-                sig.append(h)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t["simhash"].to_numpy(zero_copy_only=False)
+        hu = sig.astype(np.uint64)
+        n = len(ids)
+        keys = np.stack(
+            [(hu >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)], axis=1
+        )
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "blk": pa.array(blk, pa.int32()),
-             "key": pa.array(key, pa.int64()), "simhash": pa.array(sig, pa.int64())}
+            {
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "blk": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys.astype(np.int64).ravel()),
+                "simhash": pa.array(np.repeat(sig, 4)),
+            }
         )
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -143,6 +143,131 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_scale, batch_format="pyarrow")
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    by: str,
+    right_cols: dict[str, str],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Inner as-of join: for each left row, the right row with the greatest
+    `on` ≤ left's `on` within the same `by` key (classic event-alignment;
+    neither Ray Data nor the reference has this operator — SURVEY.md §2.9).
+
+    Partitioning assumption / scale shape: rows are hash-bucketed by the
+    `by` key, so every (left, right) match candidate is co-located and the
+    join is ONE shuffle + per-bucket vectorized `pandas.merge_asof` — no
+    all-pairs, no driver materialization. Skew bound: a bucket costs its
+    row count (hot `by` keys sort within the bucket, still O(n log n)).
+
+    `right_cols` maps right column → output name (the `on`/`by` columns of
+    the right side are implicit)."""
+    from ..agg import grouped_apply
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    r_src = list(dict.fromkeys([on, *right_cols]))  # right cols to carry
+
+    # unified union schema: left columns + __r_<col> carriers (the right
+    # side's on/value columns) + the shared `by` key; the absent side's
+    # columns are typed nulls so both Datasets share one Arrow schema
+    def _tag_left(t: pa.Table) -> pa.Table:
+        for c in r_src:
+            t = t.append_column(
+                f"__r_{c}", pa.nulls(t.num_rows, rschema.field(c).type)
+            )
+        return t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, lschema.field(c).type) for c in lcols}
+        cols[by] = t[by]
+        for c in r_src:
+            cols[f"__r_{c}"] = t[c]
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow")
+    rt = right.select_columns(
+        list(dict.fromkeys([by, *r_src]))
+    ).map_batches(_tag_right, batch_format="pyarrow")
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lcols].sort_values(on, kind="mergesort")
+        r = g[g["__side"] == 1][[by] + [f"__r_{c}" for c in r_src]].sort_values(
+            f"__r_{on}", kind="mergesort"
+        )
+        out = pd.merge_asof(
+            l, r, left_on=on, right_on=f"__r_{on}", by=by, direction="backward"
+        )
+        out = out[out[f"__r_{on}"].notna()]  # inner semantics
+        keep = {f"__r_{c}": o for c, o in right_cols.items()}
+        out = out.rename(columns=keep)
+        return out[lcols + list(right_cols.values())]
+
+    return grouped_apply(lt.union(rt), [by], _asof, num_buckets=num_buckets)
+
+
+def error_click_asof(sf_dir: str) -> rd.Dataset:
+    """For every 'error' event, the user's most recent prior (or
+    simultaneous) 'click' — inner as-of join on (user_id, ts). Only the
+    matched click's ts is emitted (deterministic even if two clicks share
+    a timestamp)."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    errors = ev.filter(expr="event_type == 'error'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["ts", "user_id"]
+    )
+    return asof_join(errors, clicks, on="ts", by="user_id",
+                     right_cols={"ts": "click_ts"})
+
+
+def events_sliding(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
+    """Sliding-window aggregate (window = `window_hours`, slide = 1h):
+    per (event_type, window start) count + integer-cents value sum over
+    all windows COVERING each event. Ray shape: each event fans out to
+    its `window_hours` member windows inside one vectorized map_batches,
+    then one bucketed group-sum — the streaming-window answer without a
+    watermark runtime (the table is bounded; the reference has no
+    streaming constructs either, SURVEY.md §2.9)."""
+    from ..agg import grouped_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def _fan(t: pa.Table) -> pa.Table:
+        hour_us = pc.floor_temporal(t["ts"], unit="hour").cast(pa.int64())
+        outs = []
+        for k in range(window_hours):
+            w = pc.subtract(hour_us, pa.scalar(k * 3_600_000_000, pa.int64()))
+            outs.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "wstart": w.cast(pa.timestamp("us")),
+                        "value": t["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["event_type", "wstart"], sort=False, as_index=False).agg(
+            n=("value", "size"), vsum=("value", "sum")
+        )
+        out["value_sum_c100"] = np.rint(out["vsum"].to_numpy() * 100).astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out[["event_type", "wstart", "n", "value_sum_c100"]]
+
+    return grouped_apply(ds.map_batches(_fan, batch_format="pyarrow"),
+                         ["event_type", "wstart"], _agg)
+
+
 def supplier_nation_rollup(sf_dir: str) -> rd.Dataset:
     """Join supplier→nation→region (two broadcast joins) + rollup counts."""
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()

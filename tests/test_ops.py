@@ -165,6 +165,55 @@ def test_multimodal_plumbing(ray_session):
     np.testing.assert_array_equal(a, b)
 
 
+def test_asof_join_matches_merge_asof(ray_session):
+    """Bucketed as-of join vs a single global pandas merge_asof."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import error_click_asof
+
+    got = error_click_asof(SF).to_pandas().sort_values(
+        "event_id", ignore_index=True
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    errors = ev[ev["event_type"] == "error"][["event_id", "ts", "user_id"]]
+    clicks = ev[ev["event_type"] == "click"][["ts", "user_id"]]
+    want = pd.merge_asof(
+        errors.sort_values("ts"),
+        clicks.sort_values("ts").rename(columns={"ts": "click_ts"}),
+        left_on="ts", right_on="click_ts", by="user_id", direction="backward",
+    )
+    want = want[want["click_ts"].notna()].sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "click_ts"]],
+        want[["event_id", "user_id", "click_ts"]],
+        check_dtype=False,
+    )
+
+
+def test_events_sliding_covers_hourly(ray_session):
+    """Every event lands in exactly `window` sliding windows: total count
+    across windows = 3 × event count; window (t) count = sum of hourly
+    counts of hours t..t+2."""
+    import pyarrow.parquet as pq
+
+    from pregel_ray.ops.relational import events_sliding
+
+    got = events_sliding(SF, 3).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert got["n"].sum() == 3 * len(ev)
+
+    hourly = ev.groupby([ev["event_type"], ev["ts"].dt.floor("h")]).size()
+    some = got.sample(20, random_state=1)
+    for _, row in some.iterrows():
+        expect = sum(
+            hourly.get((row["event_type"], row["wstart"] + pd.Timedelta(hours=k)), 0)
+            for k in range(3)
+        )
+        assert row["n"] == expect, (row["event_type"], row["wstart"])
+
+
 def test_langid_and_quality(docs_ds, docs_pd):
     """Vectorized ops vs a straight per-row reimplementation of the spec."""
     import re
