@@ -331,7 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _docs(sf_dir):
         import ray.data as rd
 
-        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+        # every doc op consumes only (doc_id, text) — prune at the read
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
 
     def _emb(sf_dir):
         import ray.data as rd

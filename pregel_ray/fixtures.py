@@ -54,8 +54,12 @@ def _mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return x
 
 
-def synth_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
-    """Vectorized deterministic transcript synthesis (FIXTURES.md §1)."""
+def synth_transcripts(n_convs: int, seed: int = SEED, conv_offset: int = 0) -> pa.Table:
+    """Vectorized deterministic transcript synthesis (FIXTURES.md §1).
+
+    ``conv_offset`` shifts the absolute conversation numbering (names,
+    text hashes, timestamps) — the chunked large-scale path synthesizes
+    disjoint conv ranges per chunk (transcripts_path)."""
     rng = np.random.default_rng(seed)
     turns_per_conv = rng.integers(3, 41, size=n_convs)  # 3..40 inclusive-ish
     total = int(turns_per_conv.sum())
@@ -91,11 +95,16 @@ def synth_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
     )
 
     # conv_id strings built once per conversation, then gathered per row
-    conv_names = np.char.add("conv-", np.char.zfill(np.arange(n_convs).astype("U7"), 7))
+    conv_names = np.char.add(
+        "conv-",
+        np.char.zfill(
+            np.arange(conv_offset, conv_offset + n_convs).astype("U7"), 7
+        ),
+    )
     conv_id = pc.take(pa.array(conv_names), pa.array(conv_num))
 
     # text = f"{conv_id}:{turn_idx}:tok{h1}:tok{h2}:tok{h3}" — pure fn of (conv_id, turn_idx)
-    h = _mix(conv_num, turn_idx.astype(np.int64))
+    h = _mix(conv_num + conv_offset, turn_idx.astype(np.int64))
 
     def _tok(shift: int) -> pa.Array:
         v = ((h >> np.uint64(shift)) % np.uint64(997)).astype(np.int64)
@@ -110,7 +119,11 @@ def synth_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
         ":",
     )
 
-    ts = _EPOCH_US + conv_num * 3_600_000_000 + turn_idx.astype(np.int64) * 7_000_000
+    ts = (
+        _EPOCH_US
+        + (conv_num + conv_offset) * 3_600_000_000
+        + turn_idx.astype(np.int64) * 7_000_000
+    )
 
     tbl = pa.table(
         {
@@ -162,9 +175,26 @@ def transcripts_path(sf_dir_or_sf: str | float) -> str:
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    tbl = synth_transcripts(n)
     tmp = out + f".tmp{os.getpid()}"
-    pq.write_table(tbl, tmp, row_group_size=131072)
+    CHUNK = 1_000_000
+    if n <= CHUNK:
+        pq.write_table(synth_transcripts(n), tmp, row_group_size=131072)
+    else:
+        # chunked synthesis: one Arrow string array per chunk stays under
+        # the 2 GiB 32-bit-offset capacity, and peak memory is one chunk.
+        # Chunks cover disjoint conv ranges with chunk-derived seeds; the
+        # standard scales (n ≤ CHUNK) keep the original single-shot stream
+        # so their cached fixtures stay canonical.
+        writer = pq.ParquetWriter(tmp, TRANSCRIPT_SCHEMA)
+        try:
+            for i, off in enumerate(range(0, n, CHUNK)):
+                writer.write_table(
+                    synth_transcripts(min(CHUNK, n - off), seed=SEED + i,
+                                      conv_offset=off),
+                    row_group_size=131072,
+                )
+        finally:
+            writer.close()
     os.replace(tmp, out)  # atomic: concurrent writers converge
     return out
 
