@@ -122,17 +122,17 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     """N vs 4N parallelism on the same input, fresh sessions.
 
-    Defaults to cpus 2 vs 8 on the sf=1.0 fixture (8.2M edges): the regime
-    where the fixed-size workload SATURATES the smaller allocation — the
-    sandbox analogue of 10^12 turns on N nodes. At 8→32 cpus this corpus
-    underfills the cores (the superstep loop's parallel work is ~2 s/step)
-    and measures idle hardware, not the engine; the full saturation curve
-    is recorded in BENCH/BASELINE.md. Override with GRAFT_SCALING_CPUS
-    ("2,8") and GRAFT_SCALING_SF ("1.0" → synthesized fixture scale)."""
+    Defaults to cpus 2 vs 8 on the sf=2.0 fixture (16.4M edges): the regime
+    where per-superstep work dominates the ~0.2 s/step Ray-Data executor
+    floor on BOTH legs without the small leg spilling — the sandbox
+    analogue of 10^12 turns on N nodes (measured curve: sf1.0 → 0.60,
+    floor-bound; sf2.0 → 0.88; sf4.0 → 1.41, 2-cpu leg saturated/spilling;
+    BENCH/BASELINE.md). Override with GRAFT_SCALING_CPUS ("2,8") and
+    GRAFT_SCALING_SF ("2.0" → synthesized fixture scale)."""
     lo_cpus, hi_cpus = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
     )
-    sf = os.environ.get("GRAFT_SCALING_SF", "1.0")
+    sf = os.environ.get("GRAFT_SCALING_SF", "2.0")
     results = {}
     for n in (lo_cpus, hi_cpus):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),

@@ -98,12 +98,14 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
 
     # wedges per center u: all ordered neighbor pairs, via a vectorized
     # self-merge on u (C-speed; no per-vertex Python loop)
-    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+    def _wedges(g: pd.DataFrame) -> pa.Table:
         m = g.merge(g, on="u", suffixes=("_1", "_2"))
         m = m[m["v_1"] < m["v_2"]]
-        return pd.DataFrame(
-            {"a": m["v_1"].to_numpy(), "b": m["v_2"].to_numpy(),
-             "center": m["u"].to_numpy()}
+        # Arrow out: keeps every block of the stream Arrow-typed (pandas
+        # block schemas defeat Ray's schema-unification dedup)
+        return pa.table(
+            {"a": pa.array(m["v_1"].to_numpy()), "b": pa.array(m["v_2"].to_numpy()),
+             "center": pa.array(m["u"].to_numpy())}
         )
 
     def _bucket_u(t: pa.Table) -> pa.Table:
@@ -138,26 +140,29 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
         bk = (((a * 1000003) ^ b) % num_buckets).astype(np.int32)
         return t.append_column("bk", pa.array(bk))
 
-    def _close(g: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY_CREDITS = pa.table(
+        {"vid": pa.array([], pa.int64()), "t": pa.array([], pa.int64())}
+    )
+
+    def _close(g: pd.DataFrame) -> pa.Table:
         """Wedges whose (a,b) is an edge → 3 credit rows per triangle."""
         is_edge = g["center"].to_numpy() == -1
         edges_set = g.loc[is_edge, ["a", "b"]]
         w = g.loc[~is_edge]
         if len(edges_set) == 0 or len(w) == 0:
-            return pd.DataFrame({"vid": pd.Series([], dtype=np.int64), "t": []}).astype(
-                {"t": np.int64}
-            )
+            return _EMPTY_CREDITS
         closed = w.merge(edges_set, on=["a", "b"], how="inner")
         if len(closed) == 0:
-            return pd.DataFrame({"vid": pd.Series([], dtype=np.int64), "t": []}).astype(
-                {"t": np.int64}
-            )
+            return _EMPTY_CREDITS
         vids = np.concatenate(
             [closed["a"].to_numpy(), closed["b"].to_numpy(), closed["center"].to_numpy()]
         )
         out = pd.DataFrame({"vid": vids})
         out = out.groupby("vid", as_index=False).size().rename(columns={"size": "t"})
-        return out.astype({"vid": np.int64, "t": np.int64})
+        return pa.table(
+            {"vid": pa.array(out["vid"].to_numpy(np.int64)),
+             "t": pa.array(out["t"].to_numpy(np.int64))}
+        )
 
     from ..agg import group_sum
 

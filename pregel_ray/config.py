@@ -22,10 +22,12 @@ class EngineConfig:
     # contiguous dst-sorted sub-shards that scatter in parallel (out-degree skew).
     max_edges_per_shard: int = 2_000_000
     # Name→vid mapping is broadcast (sorted-array LUT via ray.put) below this
-    # vertex count, hash-partitioned Dataset.join above it. 8M names ≈ a few
-    # hundred MB — cheap against the object store; the join path costs a
-    # full extra shuffle of the edge table (measured much slower).
-    broadcast_vertex_threshold: int = 8_000_000
+    # vertex count, hash-partitioned Dataset.join above it. 32M names ≈ ~3 GB
+    # against the object store (fits any real worker); the join path costs a
+    # full extra shuffle of the edge table AND hits the aggregator-actor
+    # starvation regime at low CPU counts (measured: sf4.0's 8.7M vertices
+    # crossing the old 8M threshold hard-hung a 2-cpu edge build).
+    broadcast_vertex_threshold: int = 32_000_000
     # State chunk rows per block in the superstep loop = scatter task count.
     # None → auto: min(num_parts, max(8, cpus//2)). Fewer blocks cut Ray
     # Data's fixed per-task launch cost (dominant at small data); at real

@@ -77,22 +77,31 @@ def _name_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     )
 
 
-def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+_EMPTY_PAIRS = pa.table(
+    {"src_name": pa.array([], pa.string()), "dst_name": pa.array([], pa.string()),
+     "w": pa.array([], pa.float64())}
+)
+
+
+def _pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
     """Consecutive-pair edges for every conversation in one bucket, with
-    bucket-local partial weights (map-side combine before the global groupby)."""
+    bucket-local partial weights (map-side combine before the global
+    groupby). Arrow out: typed empties + no pandas block schemas."""
     g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     name = g["name"].to_numpy()
     conv = g["conv_id"].to_numpy()
     if len(name) < 2:
-        return pd.DataFrame({"src_name": [], "dst_name": [], "w": []}).astype(
-            {"src_name": object, "dst_name": object, "w": np.float64}
-        )
+        return _EMPTY_PAIRS
     same = conv[1:] == conv[:-1]
     df = pd.DataFrame({"src_name": name[:-1][same], "dst_name": name[1:][same]})
     out = df.groupby(["src_name", "dst_name"], sort=False, as_index=False).size()
-    out = out.rename(columns={"size": "w"})
-    out["w"] = out["w"].astype(np.float64)
-    return out
+    return pa.table(
+        {
+            "src_name": pa.array(out["src_name"], pa.string()),
+            "dst_name": pa.array(out["dst_name"], pa.string()),
+            "w": pa.array(out["size"].to_numpy(np.float64)),
+        }
+    )
 
 
 def derive_pairs(transcripts: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
@@ -140,11 +149,16 @@ def encode_vertices(
         part = (stable_hash(batch["name"].to_numpy(zero_copy_only=False)) % P).astype(np.int32)
         return batch.append_column("part", pa.array(part))
 
-    def _assign(g: pd.DataFrame) -> pd.DataFrame:
+    def _assign(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("name", kind="mergesort").reset_index(drop=True)
         part = int(g["part"].iloc[0])
-        g["vid"] = np.arange(len(g), dtype=np.int64) * P + part
-        return g
+        return pa.table(
+            {
+                "name": pa.array(g["name"], pa.string()),
+                "part": pa.array(g["part"].to_numpy(np.int32)),
+                "vid": pa.array(np.arange(len(g), dtype=np.int64) * P + part),
+            }
+        )
 
     return (
         distinct.map_batches(_part, batch_format="pyarrow")

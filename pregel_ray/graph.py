@@ -134,7 +134,16 @@ def _build_part_shards(
             dstp_ids=dstp_ids.astype(np.int64),
         )
         rows.append({"part": part, "shard": s, "n_edges": hi - lo, "path": path})
-    return pd.DataFrame(rows)
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "part": pa.array([r["part"] for r in rows], pa.int64()),
+            "shard": pa.array([r["shard"] for r in rows], pa.int64()),
+            "n_edges": pa.array([r["n_edges"] for r in rows], pa.int64()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+        }
+    )
 
 
 def _atomic_savez(path: str, **arrays) -> None:
