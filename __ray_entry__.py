@@ -387,6 +387,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return simhash_near_dups(_docs(sf_dir), max_hamming=3)
 
+    def dedup_clusters_q(sf_dir):
+        # dedup × BSP engine: verified near-dup pairs → undirected pair
+        # graph → min-label connected components → canonical keep per
+        # cluster (oracle: recursive-CTE transitive closure of the same
+        # exact all-pairs Jaccard result)
+        from pregel_ray.ops.dedup import (
+            dedup_clusters,
+            minhash_lsh_candidates,
+            ngram_jaccard_verify,
+        )
+
+        docs = _docs(sf_dir)
+        cand = minhash_lsh_candidates(docs, num_perm=64, bands=32)
+        verified = ngram_jaccard_verify(docs, cand, threshold=0.8)
+        return dedup_clusters(docs, verified)
+
     def media(sf_dir):
         import ray.data as rd
 
@@ -423,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": lambda sf: quality_scores(_docs(sf)),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
+        "dedup_clusters": dedup_clusters_q,
         "ann_brute_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,
         "embedding_neardup": neardup_q,
@@ -485,6 +502,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _langid_sql(),
         "doc_quality": _quality_sql(),
         "dedup_minhash_verified": _jaccard_sql(800_000),
+        "dedup_clusters": (
+            "WITH RECURSIVE pairs AS MATERIALIZED (SELECT a, b FROM ("
+            + _jaccard_sql(800_000)
+            + """)),
+            e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach AS (
+              SELECT n AS node, n AS root FROM nodes
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
+            comp AS (SELECT node, MIN(root) AS keep_id FROM reach GROUP BY node)
+            SELECT d.doc_id, COALESCE(c.keep_id, d.doc_id) AS keep_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+        ),
         "dedup_simhash_pairs": _simhash_sql(3),
         # golden parquet from an INDEPENDENT straight-numpy implementation
         # of the multimodal spec (tests/make_golden.py) — the codec itself

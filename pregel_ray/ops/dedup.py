@@ -61,17 +61,19 @@ def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
 
 # -- shingles / MinHash -----------------------------------------------------
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of the k-word shingles of a text."""
+def _shingle_strings(text: str, k: int) -> list[str]:
     words = text.split(" ")
     if len(words) < k:
-        shingles = [" ".join(words)]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-    return out
+        return [" ".join(words)]
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Stable (cross-process) 64-bit hashes of the k-word shingles of a
+    text — one vectorized pd.util.hash_array call, no per-shingle digest."""
+    return pd.util.hash_array(
+        np.asarray(_shingle_strings(text, k), dtype=object), categorize=False
+    )
 
 
 class MinHasher:
@@ -276,6 +278,113 @@ def _jaccard_verify_join(docs, candidates, k, threshold) -> rd.Dataset:
         )
 
     return j.map_batches(_verify, batch_format="pyarrow")
+
+
+def dedup_clusters(
+    docs: rd.Dataset, pairs: rd.Dataset, workdir: str | None = None,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """(doc_id, keep_id): near-dup CLUSTERS — the transitive closure of the
+    verified pair graph, each document mapped to its cluster's minimum
+    doc_id (the canonical survivor); documents in no pair keep themselves.
+
+    This is the dedup family composed with the BSP engine: the pair graph
+    becomes a (tiny relative to the corpus) vertex/edge table through the
+    standard partition-aligned encoding, min-label-propagation connected
+    components run on CSR shards, and the canonical keep per cluster is
+    the minimum member NAME (doc ids zero-padded so lexicographic ==
+    numeric order). At 100 TB the pair graph still fits this shape —
+    components via message passing, never a driver-side union-find."""
+    import tempfile
+
+    from ..algorithms.cc import ConnectedComponents
+    from ..config import EngineConfig
+    from ..edges import encode_edges, encode_vertices
+    from ..engine import Engine
+    from ..graph import UNDIRECTED, build_shards
+
+    cfg = EngineConfig(num_parts=num_parts)
+    workdir = workdir or tempfile.mkdtemp(prefix="dedup_clusters_")
+
+    def _name_pairs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        fmt = np.vectorize(lambda x: f"d{x:012d}")
+        return pa.table(
+            {
+                "src_name": pa.array(fmt(a) if len(a) else [], pa.string()),
+                "dst_name": pa.array(fmt(b) if len(b) else [], pa.string()),
+                "w": pa.array(np.ones(len(a))),
+            }
+        )
+
+    named = pairs.map_batches(_name_pairs, batch_format="pyarrow").materialize()
+    if named.count() == 0:
+        return docs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "keep_id": t["doc_id"]}),
+            batch_format="pyarrow",
+        )
+    vertices = encode_vertices(named, cfg).materialize()
+    edges = encode_edges(named, vertices, cfg)
+    ss = build_shards(edges, vertices, f"{workdir}/shards", cfg, variant=UNDIRECTED)
+    res = Engine(ss, cfg).run(ConnectedComponents())
+
+    # vid → doc_id + per-cluster min doc_id (labels are min-VID; remap to
+    # min member name = min doc_id, the cross-system canonical form)
+    import ray
+
+    vt = vertices.to_arrow_refs()
+
+    @ray.remote
+    def _lut(refs):
+        t = pa.concat_tables([r if isinstance(r, pa.Table) else ray.get(r) for r in refs])
+        vids = t["vid"].to_numpy(zero_copy_only=False)
+        ids = np.array([int(n[1:]) for n in t["name"].to_pylist()], np.int64)
+        order = np.argsort(vids, kind="stable")
+        return {"vids": vids[order], "ids": ids[order]}
+
+    lut_ref = _lut.remote(vt)
+
+    def _decode(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(lut["ids"][np.searchsorted(lut["vids"], vid)]),
+                "lab_id": pa.array(lut["ids"][np.searchsorted(lut["vids"], lab)]),
+            }
+        )
+
+    from ..agg import grouped_apply
+
+    labeled = res.vertex_table().map_batches(_decode, batch_format="pyarrow").materialize()
+
+    def _min_id(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("lab_id", sort=False, as_index=False)["doc_id"].min().rename(
+            columns={"doc_id": "keep_id"}
+        )
+
+    keep_map = grouped_apply(labeled, ["lab_id"], _min_id).to_pandas()
+    km = dict(zip(keep_map["lab_id"].astype(int), keep_map["keep_id"].astype(int)))
+    members = labeled.to_pandas()  # bounded by the PAIR graph, not the corpus
+    mids = members["doc_id"].to_numpy(np.int64)
+    keeps = np.array([km[int(l)] for l in members["lab_id"]], np.int64)
+    order = np.argsort(mids, kind="stable")
+    mk_ref = ray.put({"ids": mids[order], "keep": keeps[order]})
+
+    def _assign(t: pa.Table) -> pa.Table:
+        mk = ray.get(mk_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids.copy()
+        if len(mk["ids"]):
+            idx = np.searchsorted(mk["ids"], ids)
+            idx_c = np.minimum(idx, len(mk["ids"]) - 1)
+            found = mk["ids"][idx_c] == ids
+            keep[found] = mk["keep"][idx_c[found]]
+        return pa.table({"doc_id": t["doc_id"], "keep_id": pa.array(keep)})
+
+    return docs.map_batches(_assign, batch_format="pyarrow")
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -103,6 +103,7 @@ def _name_lut_task(vertices_dir: str, P: int) -> dict:
     name_order = np.argsort(names, kind="stable")
     ranks = np.empty(len(vids), np.int64)
     ranks[name_order] = np.arange(len(vids), dtype=np.int64)
+    vids_by_rank = vids[name_order]
     parts = (vids % P).astype(np.int64)
     lis = vids // P
     ranks_by_part = {}
@@ -116,6 +117,7 @@ def _name_lut_task(vertices_dir: str, P: int) -> dict:
         "names": names,
         "ranks": ranks,
         "names_sorted": names[name_order],
+        "vids_by_rank": vids_by_rank,
         "ranks_by_part": ranks_by_part,
     }
 
@@ -149,9 +151,7 @@ def _rename_vids(lut_ref, spec: dict[str, str], keep: list[str] = ()):
 @ray.remote
 def _vid_of_name(lut_ref_inner: dict, name: str) -> int:
     i = int(np.searchsorted(lut_ref_inner["names_sorted"], name))
-    # names_sorted[i] is name; its vid = vids[ranks == i] — invert via ranks
-    hits = np.flatnonzero(lut_ref_inner["ranks"] == i)
-    return int(lut_ref_inner["vids"][hits[0]])
+    return int(lut_ref_inner["vids_by_rank"][i])
 
 
 # ---------------------------------------------------------------------------

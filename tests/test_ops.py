@@ -78,6 +78,29 @@ def test_minhash_lsh_finds_planted_dups(ray_session, docs_pd):
     assert len(exact_rows) >= 10 and (exact_rows["jac_ppm"] == 1_000_000).all()
 
 
+def test_dedup_clusters_transitive(ray_session, docs_pd):
+    """A chain a~b, b~c (no direct a~c pair) must land in ONE cluster with
+    keep = min doc_id; untouched docs keep themselves."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import dedup_clusters
+
+    docs = rd.from_arrow(
+        pa.Table.from_pandas(docs_pd.head(50), preserve_index=False)
+    )
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([3, 7, 20], pa.int64()),
+                  "b": pa.array([7, 11, 21], pa.int64())})
+    )
+    out = dedup_clusters(docs, pairs).to_pandas()
+    keep = dict(zip(out["doc_id"], out["keep_id"]))
+    assert keep[3] == keep[7] == keep[11] == 3  # chain collapses to min
+    assert keep[20] == keep[21] == 20
+    untouched = [i for i in range(50) if i not in (3, 7, 11, 20, 21)]
+    assert all(keep[i] == i for i in untouched)
+
+
 def test_simhash_identical_zero_distance(docs_ds, docs_pd):
     from pregel_ray.ops.dedup import simhash_near_dups
 
