@@ -118,6 +118,62 @@ def media_features(media: rd.Dataset, concurrency: int = 2,
     )
 
 
+class FrameSampler:
+    """Actor-pool stage: video payloads → every-k-th decoded frame.
+
+    Real Ray plumbing (schema, small batches for large payloads, one
+    `__init__` per actor), stubbed codec like _decode_stub: a 'video' is
+    deterministically expanded to `n_frames` fake frames from the payload
+    digest; a real build swaps the stub for pyav. Output: one row per
+    SAMPLED frame (media_id, frame_idx, frame binary, width, height) —
+    the fan-out shape a downstream per-frame featurizer consumes."""
+
+    def __init__(self, every_k: int = 4, n_frames: int = 16,
+                 frame_hw: int = 16):
+        self.every_k = every_k
+        self.n_frames = n_frames
+        self.hw = frame_hw
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, pl in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            seed = int.from_bytes(
+                hashlib.blake2b(pl, digest_size=8).digest(), "little"
+            )
+            rng = np.random.default_rng(seed)
+            # stub decode: all frames drawn in stream order so frame k is
+            # deterministic regardless of sampling stride
+            for k in range(self.n_frames):
+                frame = rng.integers(0, 256, (self.hw, self.hw, 3), dtype=np.uint8)
+                if k % self.every_k == 0:
+                    ids.append(mid)
+                    fidx.append(k)
+                    frames.append(frame.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+                "width": pa.array(np.full(len(ids), self.hw, np.int32)),
+                "height": pa.array(np.full(len(ids), self.hw, np.int32)),
+            }
+        )
+
+
+def frame_sample(media: rd.Dataset, every_k: int = 4, n_frames: int = 16,
+                 concurrency: int = 2, batch_size: int = 8) -> rd.Dataset:
+    """Video → sampled-frame rows (decode/sample in an actor pool; small
+    batch_size keeps payload bytes × batch × concurrency in worker heap)."""
+    return media.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"every_k": every_k, "n_frames": n_frames},
+    )
+
+
 def quantize_features(feats: rd.Dataset, scale: int = 10_000) -> rd.Dataset:
     """(media_id, decoded, feature_q): features quantized to int64 at
     `scale` — a hash-stable representation for golden-file comparison

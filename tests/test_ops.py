@@ -237,6 +237,23 @@ def test_events_sliding_covers_hourly(ray_session):
         assert row["n"] == expect, (row["event_type"], row["wstart"])
 
 
+def test_frame_sample_plumbing(ray_session):
+    import ray.data as rd
+
+    from pregel_ray.ops.multimodal import frame_sample, synth_media
+
+    media = rd.from_arrow(synth_media(12))
+    out = frame_sample(media, every_k=4, n_frames=16).to_pandas()
+    assert len(out) == 12 * 4  # frames 0,4,8,12 per item
+    assert sorted(out["frame_idx"].unique()) == [0, 4, 8, 12]
+    assert out["frame"].map(len).eq(16 * 16 * 3).all()
+    # determinism: same payloads → same sampled frames
+    out2 = frame_sample(rd.from_arrow(synth_media(12)), every_k=4).to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"])["frame"].tolist()
+    b = out2.sort_values(["media_id", "frame_idx"])["frame"].tolist()
+    assert a == b
+
+
 def test_langid_and_quality(docs_ds, docs_pd):
     """Vectorized ops vs a straight per-row reimplementation of the spec."""
     import re
