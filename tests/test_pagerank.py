@@ -55,6 +55,26 @@ def test_pagerank_hub_split_equals_unsplit(ray_session, tmp_path):
     np.testing.assert_allclose(got_split, got_plain, atol=0)
 
 
+def test_pagerank_chained_supersteps_identical(ray_session, tmp_path):
+    """Opt-in superstep chaining (K supersteps as one lazy plan, cross-step
+    globals through the mailbox) must be BIT-identical to the per-step
+    barrier on a fixed-iteration run — including a chunk-clipping K that
+    does not divide the iteration count."""
+    tbl = fixtures.g_two_cliques_bridge()
+    got_k1, want, res1, _ = run_pagerank(tbl, tmp_path / "k1", fixed_iters=12)
+    got_k5, _, res5, _ = run_pagerank(
+        tbl, tmp_path / "k5",
+        cfg=EngineConfig(num_parts=4, chain_supersteps=5), fixed_iters=12,
+    )
+    assert res1.supersteps == res5.supersteps == 12
+    np.testing.assert_allclose(got_k5, got_k1, atol=0)  # bit-identical
+    np.testing.assert_allclose(got_k5, want, atol=1e-9)
+    # per-step metrics (from the in-flow mailbox resolution) also agree
+    for m1, m5 in zip(res1.history, res5.history):
+        assert (m1.superstep, m1.active, m1.nmsg) == (m5.superstep, m5.active, m5.nmsg)
+        np.testing.assert_allclose([m1.m1, m1.m2], [m5.m1, m5.m2], atol=0)
+
+
 def test_pagerank_transcript_graph(ray_session, tmp_path, tiny_transcripts):
     import ray.data as rd
 
