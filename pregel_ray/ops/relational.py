@@ -204,7 +204,22 @@ def asof_join(
         out = out[out[f"__r_{on}"].notna()]  # inner semantics
         keep = {f"__r_{c}": o for c, o in right_cols.items()}
         out = out.rename(columns=keep)
-        return out[lcols + list(right_cols.values())]
+        out = out[lcols + list(right_cols.values())]
+        # The bucket's Arrow→pandas conversion widened null-carrying int
+        # columns (left cols on right-side rows and vice versa) to float64;
+        # after the inner filter no nulls remain, so casting back to the
+        # source schemas is lossless and keeps the output schema equal to
+        # left ⊕ right_cols (e.g. event_id stays int64, not double).
+        astype = {}
+        for c in lcols:
+            want = lschema.field(c).type.to_pandas_dtype()
+            if out[c].dtype != want:
+                astype[c] = want
+        for c, o in right_cols.items():
+            want = rschema.field(c).type.to_pandas_dtype()
+            if out[o].dtype != want:
+                astype[o] = want
+        return out.astype(astype) if astype else out
 
     return grouped_apply(lt.union(rt), [by], _asof, num_buckets=num_buckets)
 

@@ -208,6 +208,10 @@ def test_asof_join_matches_merge_asof(ray_session):
         left_on="ts", right_on="click_ts", by="user_id", direction="backward",
     )
     want = want[want["click_ts"].notna()].sort_values("event_id", ignore_index=True)
+    # Schema must survive the tagged-union path: pandas considers 1.0 == 1,
+    # so a dtype-blind compare would hide int64→double widening (the round-2
+    # events_error_click_asof hash-fail).
+    assert got["event_id"].dtype == errors["event_id"].dtype, got.dtypes
     pd.testing.assert_frame_equal(
         got[["event_id", "user_id", "click_ts"]],
         want[["event_id", "user_id", "click_ts"]],
