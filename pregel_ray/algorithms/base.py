@@ -35,6 +35,12 @@ class Algorithm:
     # (b) up to K-1 post-convergence steps are harmless. Mutating or
     # driver-interactive algorithms leave this False.
     supports_chaining = False
+    # True when should_stop means quiescence (vote-halt / no label changed):
+    # post-convergence supersteps are identity, so a chained chunk that
+    # overshoots needs no correction. Tolerance-stopped algorithms (PageRank
+    # tol mode) set False and the engine replays the final chunk clipped at
+    # the converged step.
+    quiescent_convergence = True
 
     # -- lifecycle ---------------------------------------------------------
     def init(self, part: int, n_local: int, pmeta: dict, ctx: dict):

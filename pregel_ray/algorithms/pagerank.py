@@ -35,6 +35,11 @@ class PageRank(Algorithm):
     name = "pagerank"
     directed = True
     supports_chaining = True  # metrics/agg-only cross-step globals
+    # tol-mode stop is tolerance-based, not quiescent: post-convergence
+    # supersteps keep refining, so a chained chunk that overshoots must be
+    # replayed clipped at the converged step (engine.run). Fixed-iteration
+    # mode never overshoots (chunks clip at max_iters).
+    quiescent_convergence = False
 
     def __init__(self, damping: float = 0.85, tol: float = 1e-6, max_iters: int | None = None):
         self.damping = damping

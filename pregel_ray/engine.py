@@ -500,15 +500,20 @@ class Engine:
             name_set = set(names)
 
             def _existing(t: pa.Table) -> pa.Table:
-                return t.select(["name"]).filter(
+                return t.select(["vid", "name"]).filter(
                     pc.is_in(t["name"], value_set=pa.array(sorted(name_set)))
                 )
 
+            existing = rd.read_parquet(gs["vertices_dir"]).map_batches(
+                _existing, batch_format="pyarrow"
+            ).take_all()
+            # A tombstoned vid does not reserve its name: the reference's
+            # data_space:delete removes the tuple, so delete-then-add of the
+            # same name succeeds (vertex.lua:183 area / ADVICE r2). The stale
+            # (name, dead vid) row is dropped from the vertices table below
+            # so name→vid stays unique among live vertices.
             taken = {
-                r["name"]
-                for r in rd.read_parquet(gs["vertices_dir"])
-                .map_batches(_existing, batch_format="pyarrow")
-                .take_all()
+                r["name"] for r in existing if int(r["vid"]) not in self.dead
             }
             seen: set = set()
             for name, (_, value) in sorted(
@@ -563,6 +568,22 @@ class Engine:
         new_verts_dir = os.path.join(epoch_dir, "vertices")
         verts = rd.read_parquet(gs["vertices_dir"])
         if new_local:
+            # drop stale rows of re-added names (dead vid, same name) so the
+            # vertices table keeps one live row per name
+            readded = {name for lst in new_local.values() for _, name, _ in lst}
+            dead_list = sorted(self.dead)
+            if dead_list:
+                readd_arr = pa.array(sorted(readded))
+                dead_arr = pa.array(dead_list, pa.int64())
+
+                def _drop_stale(t: pa.Table) -> pa.Table:
+                    stale = pc.and_(
+                        pc.is_in(t["name"], value_set=readd_arr),
+                        pc.is_in(t["vid"], value_set=dead_arr),
+                    )
+                    return t.filter(pc.invert(stale))
+
+                verts = verts.map_batches(_drop_stale, batch_format="pyarrow")
             vt = pa.table(
                 {
                     "name": pa.array(
@@ -758,27 +779,21 @@ class Engine:
             algorithm, "supports_chaining", False
         ) else 1
         algo_cap = getattr(algorithm, "max_iters", None) or self.cfg.max_supersteps
-        s = start - 1
-        while s < min(self.cfg.max_supersteps, algo_cap) and not converged:
-            t0 = time.monotonic()
-            k_steps = min(K, self.cfg.max_supersteps - s, algo_cap - s)
-            if self.cfg.checkpoint_interval:
-                # land chunk ends exactly on checkpoint boundaries so the
-                # every-K-supersteps checkpoint contract survives chaining
-                k_steps = min(
-                    k_steps,
-                    self.cfg.checkpoint_interval - s % self.cfg.checkpoint_interval,
-                )
-            plan = state
+
+        def _run_chunk(state0, prev0, agg0, k, s0) -> rd.Dataset:
+            """k supersteps as ONE lazy plan from state0 (k=1 = the plain
+            per-step barrier). refs/meta_refs resolve at call time so
+            mutation epochs are picked up."""
+            plan = state0
             mbx_token = mailbox._actor_id.hex()
-            for j in range(k_steps):
-                ss = s + 1 + j
+            for j in range(k):
+                ss = s0 + 1 + j
                 ctx = self._base_ctx(params)
                 ctx.update({"superstep": ss, "dead": frozenset(self.dead),
                             "_mbx_token": mbx_token})
                 ctx["N"] = self.shards.n_vertices  # mutations may change it
                 if j == 0:
-                    ctx.update({"prev": prev.to_dict(), "agg": agg})
+                    ctx.update({"prev": prev0.to_dict(), "agg": agg0})
                 # ONE groupby is one whole superstep: the state rows carry
                 # the previous step's message chunks (fused scatter), the
                 # part-shuffle routes them, apply reduces + computes + emits
@@ -797,9 +812,23 @@ class Engine:
             # next chunk's plan starts at Input — without this the union
             # branch re-executes the whole superstep history (observed:
             # duration doubling per superstep from s7 on)
-            new_state = rd.from_arrow_refs(new_state.to_arrow_refs())
+            return rd.from_arrow_refs(new_state.to_arrow_refs())
+
+        s = start - 1
+        while s < min(self.cfg.max_supersteps, algo_cap) and not converged:
+            t0 = time.monotonic()
+            k_steps = min(K, self.cfg.max_supersteps - s, algo_cap - s)
+            if self.cfg.checkpoint_interval:
+                # land chunk ends exactly on checkpoint boundaries so the
+                # every-K-supersteps checkpoint contract survives chaining
+                k_steps = min(
+                    k_steps,
+                    self.cfg.checkpoint_interval - s % self.cfg.checkpoint_interval,
+                )
+            chunk_in = (state, prev, agg)
+            state = _run_chunk(state, prev, agg, k_steps, s)
             chunk_dur = time.monotonic() - t0
-            state = new_state
+            done_steps = k_steps
             for j in range(k_steps):
                 ss = s + 1 + j
                 prev, agg = self._fold_mailbox(
@@ -807,9 +836,22 @@ class Engine:
                 )
                 prev.duration = chunk_dur / k_steps
                 history.append(prev)
-                if algorithm.should_stop(prev, ss) and not converged:
-                    converged = True  # state includes ≤ K-1-j identity steps
-            s += k_steps
+                if algorithm.should_stop(prev, ss):
+                    converged = True
+                    done_steps = j + 1
+                    break
+            s += done_steps
+            if converged and done_steps < k_steps and not getattr(
+                algorithm, "quiescent_convergence", True
+            ):
+                # Tolerance-stopped (e.g. PageRank L1<tol): the chunk's
+                # trailing steps are extra refinement, not identity — replay
+                # the chunk clipped at the converged step so chaining returns
+                # exactly the per-step-barrier (K=1) converged state.
+                # Quiescent vote-halt algorithms skip this: their post-
+                # convergence steps are identity, the state is already exact.
+                st0, pv0, ag0 = chunk_in
+                state = _run_chunk(st0, pv0, ag0, done_steps, s - done_steps)
 
             muts = agg.pop("_mutations", None)
             if muts:

@@ -332,15 +332,16 @@ def build_shards_delta(
         columns=["part", "shard", "n_edges", "path"],
     )
     manifest_rows = pd.concat([kept, new_rows], ignore_index=True) if len(new_rows) else kept
+    # Brand-new parts (first vertex added there) must be in `affected` —
+    # _apply_mutations guarantees it — or their meta .npz would never be
+    # written (only _build_parts_shards writes fresh meta files).
+    new_parts = {p for p in n_local_new if p not in old.n_local}
+    assert new_parts <= affected, f"new parts {new_parts - affected} not rebuilt"
     meta_paths = {
         p: (os.path.join(shard_dir, f"part{p:06d}.meta.npz")
             if p in affected else old.meta_paths[p])
         for p in n_local_new
     }
-    # brand-new parts (first vertex added there) always build fresh meta
-    for p in n_local_new:
-        if p not in old.n_local and p not in affected:
-            meta_paths[p] = os.path.join(shard_dir, f"part{p:06d}.meta.npz")
     _write_manifest(
         shard_dir, P, int(sum(n_local_new.values())), n_local_new, manifest_rows,
         meta_paths,

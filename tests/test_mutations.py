@@ -122,6 +122,41 @@ def test_add_vertex_named_and_deduped(ray_session, tmp_path):
     )
 
 
+def test_delete_then_readd_name(ray_session, tmp_path):
+    """Reference semantics: data_space:delete removes the vertex TUPLE, so
+    its name is free again — delete-then-add of the same name succeeds with
+    a fresh vid (ADVICE r2 engine.py:507). The tombstoned vid stays dead."""
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+    V = {i: int(v) for i, v in zip(g.ids, g.vid_of)}
+
+    def compute(v):
+        s = v.get_superstep()
+        v.set_value(v.get_value() + 1)
+        if s == 1 and v.get_name() == V[0]:
+            v.delete_vertex(V[1])
+        if s == 2 and v.get_name() == V[0]:
+            v.add_vertex(5.0, name="v00000001")  # V[1]'s name, now free
+        v.vote_halt(s >= 3)
+
+    algo = ComputeAlgorithm(compute=compute, initial_value=0.0)
+    eng = Engine(g.shards, cfg, graph_source=dict(g.graph_source))
+    res = eng.run(algo)
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+    vals = dict(zip(vt["vid"], vt["value"]))
+    assert len(vals) == 5  # 4 original (one tombstoned) + 1 re-added
+    new_vid = (set(vals) - set(V.values())).pop()
+    assert new_vid != V[1]  # fresh vid, not the tombstoned slot
+    assert vals[V[1]] == 1.0  # dead after s1
+    assert vals[new_vid] == 6.0  # added at s2 boundary, computed s3
+    # the vertices table keeps exactly ONE live row for the name
+    import ray.data as rd
+    names = rd.read_parquet(eng.graph_source["vertices_dir"]).to_pandas()
+    rows = names[names["name"] == "v00000001"]
+    assert len(rows) == 1 and int(rows["vid"].iloc[0]) == new_vid
+
+
 def test_mutation_survives_checkpoint_resume(ray_session, tmp_path):
     """A run that mutated topology, checkpointed, and is resumed by a FRESH
     Engine built from the ORIGINAL ShardSet must continue on the mutated

@@ -75,6 +75,28 @@ def test_pagerank_chained_supersteps_identical(ray_session, tmp_path):
         np.testing.assert_allclose([m1.m1, m1.m2], [m5.m1, m5.m2], atol=0)
 
 
+def test_pagerank_chained_tol_convergence_exact(ray_session, tmp_path):
+    """Tolerance-stopped chaining: when convergence lands mid-chunk the
+    engine replays the chunk clipped at the converged step, so the chained
+    result is BIT-identical to the per-step barrier — not K-1 extra
+    refinement steps (ADVICE r2 engine.py:762)."""
+    tbl = fixtures.g_two_cliques_bridge()
+    cfg1 = EngineConfig(num_parts=4)
+    g1 = MicroGraph(tbl, str(tmp_path / "s1"), cfg1)
+    res1 = Engine(g1.shards, cfg1).run(PageRank(tol=1e-4))
+    assert res1.converged
+    S = res1.supersteps
+    K = 5 if S % 5 else 4  # guarantee convergence mid-chunk (overshoot path)
+    assert S % K != 0
+    cfgK = EngineConfig(num_parts=4, chain_supersteps=K)
+    gK = MicroGraph(tbl, str(tmp_path / "sK"), cfgK)
+    resK = Engine(gK.shards, cfgK).run(PageRank(tol=1e-4))
+    assert resK.converged and resK.supersteps == S
+    got1 = g1.result_by_id(res1.vertex_table().to_pandas(), "rank")
+    gotK = gK.result_by_id(resK.vertex_table().to_pandas(), "rank")
+    np.testing.assert_allclose(gotK, got1, atol=0)  # bit-identical
+
+
 def test_pagerank_transcript_graph(ray_session, tmp_path, tiny_transcripts):
     import ray.data as rd
 
