@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: R.events_hourly(sf),
         "events_sliding_3h": lambda sf: R.events_sliding(sf, 3),
         "events_error_click_asof": lambda sf: R.error_click_asof(sf),
+        "events_error_next_click_asof": lambda sf: R.error_next_click_asof(sf),
+        "events_error_clicks_1h_range": lambda sf: R.error_clicks_1h_range(sf),
         "supplier_nation_rollup": lambda sf: R.supplier_nation_rollup(sf),
     }
 
@@ -592,6 +594,22 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT ts, user_id FROM events
                        WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts""",
+        "events_error_next_click_asof": """
+            SELECT e.event_id, e.ts, e.user_id, c.ts AS click_ts
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'error') e
+            ASOF JOIN (SELECT ts, user_id FROM events
+                       WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts <= c.ts""",
+        "events_error_clicks_1h_range": """
+            SELECT e.event_id, COUNT(*) AS n_clicks_1h
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'error') e
+            JOIN (SELECT ts, user_id FROM events
+                  WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts BETWEEN e.ts - INTERVAL '1 hour' AND e.ts
+            GROUP BY e.event_id""",
         "supplier_nation_rollup": """
             SELECT r.r_name, n.n_name, COUNT(*) AS n_suppliers
             FROM supplier s

@@ -64,14 +64,120 @@ def grouped_apply(
         # emit Arrow (metadata-stripped): keeps every block of the stream
         # Arrow-typed, so Ray's schema unification never sees the
         # unhashable pandas block schemas ("Failed to hash the schemas")
+        out = fn(g.drop(columns="__bk"))
+        if isinstance(out, pa.Table):  # fn may emit Arrow directly
+            return out.replace_schema_metadata(None)
         return pa.Table.from_pandas(
-            fn(g.drop(columns="__bk")), preserve_index=False
+            out, preserve_index=False
         ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(_bk, batch_format="pyarrow")
         .groupby("__bk")
         .map_groups(_apply, batch_format="pandas")
+    )
+
+
+def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow.Schema. Pipelines are Arrow-block
+    end-to-end so this is normally free; pandas-block inputs (e.g.
+    ``from_pandas`` in tests) map numpy dtypes, object → string."""
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    fields = []
+    for name, dt in zip(s.names, s.types):
+        if isinstance(dt, pa.DataType):
+            fields.append((name, dt))
+        else:
+            dt = np.dtype(dt)
+            fields.append(
+                (name, pa.string() if dt == object else pa.from_numpy_dtype(dt))
+            )
+    return pa.schema(fields)
+
+
+def bucketed_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 128,
+    rsuffix: str = "_r",
+) -> rd.Dataset:
+    """Hash-bucketed map-side equi-join: both sides tag into ONE union
+    (typed-null carriers for the other side's columns), bucket by key
+    hash, and each bucket does a vectorized ``pandas.merge`` — the same
+    shape as ``grouped_apply``. Replaces ``Dataset.join``, whose
+    hash-shuffle aggregator actors starve/hang when partitions approach
+    the core count (hard-hung 2-cpu sf4 build even with the
+    num_partitions guard — CLAUDE.md known gap).
+
+    Key columns are never null in the union (each row carries its own
+    key), so int64 keys survive the pandas conversion exactly. Non-key
+    carriers widen to float64 on the null side; every bucket converts
+    back through ONE explicit Arrow output schema (left fields + right
+    value fields), so int columns round-trip losslessly (NaN → null)
+    and the schema is identical across buckets. Output columns: left's,
+    then right's value columns (``rsuffix`` applied on name collisions).
+
+    Scale shape: one shuffle of each side by key hash; a bucket costs
+    its row count (both sides of any key land in one bucket — skewed
+    keys cost their rows, never all-pairs across buckets)."""
+    assert how in ("inner", "left"), how
+    right_on = right_on or left_on
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rvals = [c for c in rschema.names if c not in right_on]
+    out_r = {c: (c + rsuffix if c in lcols else c) for c in rvals}
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        bk = (_hash_cols(t, left_on) % np.uint64(num_buckets)).astype(np.int32)
+        for c in rvals:
+            t = t.append_column(out_r[c], pa.nulls(t.num_rows, rschema.field(c).type))
+        t = t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8)))
+        return t.append_column("__bk", pa.array(bk))
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        bk = (_hash_cols(t, right_on) % np.uint64(num_buckets)).astype(np.int32)
+        cols = {}
+        for c in lcols:
+            if c in left_on:
+                cols[c] = t[right_on[left_on.index(c)]].cast(lschema.field(c).type)
+            else:
+                cols[c] = pa.nulls(t.num_rows, lschema.field(c).type)
+        for c in rvals:
+            cols[out_r[c]] = t[c]
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["__bk"] = pa.array(bk)
+        return pa.table(cols)
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow")
+    rt = right.map_batches(_tag_right, batch_format="pyarrow")
+    r_out = [out_r[c] for c in rvals]
+    # Explicit output schema: stops a bucket whose right side matched
+    # nothing (all-NaN object columns) from inferring `null` type and
+    # breaking cross-bucket schema unification. float64-with-NaN int
+    # carriers cast back losslessly (NaN → null) under this schema.
+    out_schema = pa.schema(
+        [lschema.field(c) for c in lcols]
+        + [pa.field(out_r[c], rschema.field(c).type) for c in rvals]
+    )
+
+    def _merge(g: pd.DataFrame) -> pa.Table:
+        l = g[g["__side"] == 0][lcols]
+        r = g[g["__side"] == 1][left_on + r_out]
+        out = pd.merge(l, r, on=left_on, how=how)
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        lt.union(rt)
+        .groupby("__bk")
+        .map_groups(_merge, batch_format="pandas")
     )
 
 

@@ -208,26 +208,18 @@ def encode_edges(
 
         return pairs.map_batches(_lookup, batch_format="pyarrow")
 
-    # Large-vertex path: two hash-partitioned Dataset.joins on the name key.
-    # Partition count must stay well under the CPU count: the hash-shuffle
-    # join spawns one aggregator actor per wave and starves/hangs when they
-    # outnumber the cores (observed: 64-partition join crawling at 5% CPU).
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    nparts = max(2, min(cfg.num_parts, cpus // 2))
-    agg_args = {"num_cpus": 0.5}
+    # Large-vertex path: two bucketed map-side joins on the name key
+    # (agg.bucketed_join). Dataset.join is avoided entirely: its
+    # hash-shuffle aggregator actors starve/hang when partitions approach
+    # the core count (observed: 64-partition join crawling at 5% CPU, and
+    # a hard hang at 2 cpus/sf4 even with a num_partitions guard).
+    from .agg import bucketed_join
+
     v = vertices.select_columns(["name", "vid"])
-    e1 = pairs.join(
-        v, join_type="inner", num_partitions=nparts, on=("src_name",),
-        right_on=("name",), aggregator_ray_remote_args=agg_args,
-    )
+    nb = max(cfg.num_buckets, cfg.num_parts)
+    e1 = bucketed_join(pairs, v, ["src_name"], ["name"], num_buckets=nb)
     e1 = e1.rename_columns({"vid": "src"}).select_columns(["src", "dst_name", "w"])
-    e2 = e1.join(
-        v, join_type="inner", num_partitions=nparts, on=("dst_name",),
-        right_on=("name",), aggregator_ray_remote_args=agg_args,
-    )
+    e2 = bucketed_join(e1, v, ["dst_name"], ["name"], num_buckets=nb)
     e2 = e2.rename_columns({"vid": "dst"})
     return e2.select_columns(["src", "dst", "w"])
 

@@ -43,20 +43,21 @@ def exact_duplicates(docs: rd.Dataset) -> rd.Dataset:
 
 
 def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
-    """The deduplicated document set (first-of-group survivors)."""
+    """The deduplicated document set (first-of-group survivors). Bucketed
+    finale (agg.grouped_apply): `fp` is one key per distinct doc — the
+    high-cardinality regime where groupby(fp).map_groups costs one Python
+    call per distinct document (agg.py header)."""
+    from ..agg import grouped_apply
 
     def _fp(t: pa.Table) -> pa.Table:
         fp = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
         return t.append_column("fp", pa.array(fp))
 
     def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+        # vectorized first-of-group within the bucket: one sort + drop_dups
+        return g.sort_values("doc_id", kind="mergesort").drop_duplicates("fp")
 
-    return (
-        docs.map_batches(_fp, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(_first, batch_format="pandas")
-    )
+    return grouped_apply(docs.map_batches(_fp, batch_format="pyarrow"), ["fp"], _first)
 
 
 # -- shingles / MinHash -----------------------------------------------------
@@ -242,23 +243,17 @@ def _jaccard_verify_broadcast(docs, candidates, k, threshold) -> rd.Dataset:
 
 
 def _jaccard_verify_join(docs, candidates, k, threshold) -> rd.Dataset:
-    """Shuffle-join fallback: texts joined onto pairs, Jaccard per batch.
-    Join partition count guarded ≤ cpus//2 (join aggregator-actor
-    starvation, see edges.encode_edges)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    nparts = max(2, cpus // 2)
-    agg_args = {"num_cpus": 0.5}
+    """Bucketed-join fallback: texts map-side-joined onto pairs
+    (agg.bucketed_join — no Dataset.join aggregator actors to starve),
+    Jaccard per batch."""
+    from ..agg import bucketed_join
+
     texts = docs.select_columns(["doc_id", "text"])
-    j = candidates.select_columns(["a", "b"]).join(
-        texts, join_type="inner", num_partitions=nparts, on=("a",),
-        right_on=("doc_id",), aggregator_ray_remote_args=agg_args,
+    j = bucketed_join(
+        candidates.select_columns(["a", "b"]), texts, ["a"], ["doc_id"]
     ).rename_columns({"text": "text_a"}).select_columns(["a", "b", "text_a"])
-    j = j.join(
-        texts, join_type="inner", num_partitions=nparts, on=("b",),
-        right_on=("doc_id",), aggregator_ray_remote_args=agg_args,
+    j = bucketed_join(
+        j, texts, ["b"], ["doc_id"]
     ).rename_columns({"text": "text_b"}).select_columns(["a", "b", "text_a", "text_b"])
 
     def _verify(t: pa.Table) -> pa.Table:
@@ -306,14 +301,17 @@ def dedup_clusters(
     cfg = EngineConfig(num_parts=num_parts)
     workdir = workdir or tempfile.mkdtemp(prefix="dedup_clusters_")
 
+    def _fmt(x: np.ndarray) -> np.ndarray:
+        # vectorized d%012d (numeric order == lexicographic order)
+        return np.char.add("d", np.char.zfill(x.astype(np.int64).astype("U12"), 12))
+
     def _name_pairs(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        fmt = np.vectorize(lambda x: f"d{x:012d}")
         return pa.table(
             {
-                "src_name": pa.array(fmt(a) if len(a) else [], pa.string()),
-                "dst_name": pa.array(fmt(b) if len(b) else [], pa.string()),
+                "src_name": pa.array(_fmt(a) if len(a) else [], pa.string()),
+                "dst_name": pa.array(_fmt(b) if len(b) else [], pa.string()),
                 "w": pa.array(np.ones(len(a))),
             }
         )
@@ -339,7 +337,11 @@ def dedup_clusters(
     def _lut(refs):
         t = pa.concat_tables([r if isinstance(r, pa.Table) else ray.get(r) for r in refs])
         vids = t["vid"].to_numpy(zero_copy_only=False)
-        ids = np.array([int(n[1:]) for n in t["name"].to_pylist()], np.int64)
+        import pyarrow.compute as _pc
+
+        ids = _pc.cast(
+            _pc.utf8_slice_codeunits(t["name"].combine_chunks(), 1, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         order = np.argsort(vids, kind="stable")
         return {"vids": vids[order], "ids": ids[order]}
 
@@ -356,7 +358,7 @@ def dedup_clusters(
             }
         )
 
-    from ..agg import grouped_apply
+    from ..agg import bucketed_join, grouped_apply
 
     labeled = res.vertex_table().map_batches(_decode, batch_format="pyarrow").materialize()
 
@@ -365,26 +367,48 @@ def dedup_clusters(
             columns={"doc_id": "keep_id"}
         )
 
-    keep_map = grouped_apply(labeled, ["lab_id"], _min_id).to_pandas()
-    km = dict(zip(keep_map["lab_id"].astype(int), keep_map["keep_id"].astype(int)))
-    members = labeled.to_pandas()  # bounded by the PAIR graph, not the corpus
-    mids = members["doc_id"].to_numpy(np.int64)
-    keeps = np.array([km[int(l)] for l in members["lab_id"]], np.int64)
-    order = np.argsort(mids, kind="stable")
-    mk_ref = ray.put({"ids": mids[order], "keep": keeps[order]})
+    # label→keep LUT assembled in a REMOTE task (one row per CLUSTER — the
+    # small end of the pair graph), read zero-copy from plasma per batch;
+    # nothing pair-graph-bounded ever lands on the driver.
+    keep_ds = grouped_apply(labeled, ["lab_id"], _min_id).materialize()
 
-    def _assign(t: pa.Table) -> pa.Table:
-        mk = ray.get(mk_ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ids.copy()
-        if len(mk["ids"]):
-            idx = np.searchsorted(mk["ids"], ids)
-            idx_c = np.minimum(idx, len(mk["ids"]) - 1)
-            found = mk["ids"][idx_c] == ids
-            keep[found] = mk["keep"][idx_c[found]]
-        return pa.table({"doc_id": t["doc_id"], "keep_id": pa.array(keep)})
+    @ray.remote
+    def _keep_lut(refs):
+        ts = [r if isinstance(r, pa.Table) else ray.get(r) for r in refs]
+        # drop empty tail blocks (schema-less bundles from map_groups tails)
+        t = pa.concat_tables([x for x in ts if x.num_rows])
+        labs = t["lab_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keeps = t["keep_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labs, kind="stable")
+        return {"labs": labs[order], "keep": keeps[order]}
 
-    return docs.map_batches(_assign, batch_format="pyarrow")
+    kl_ref = _keep_lut.remote(keep_ds.to_arrow_refs())
+
+    def _member_keep(t: pa.Table) -> pa.Table:
+        kl = ray.get(kl_ref)
+        lab = t["lab_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = kl["keep"][np.searchsorted(kl["labs"], lab)]
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "keep_id": pa.array(keep)}
+        )
+
+    # member→keep stays a DISTRIBUTED Dataset (pair-graph-bounded rows,
+    # never pulled or broadcast whole); docs get their keep via a bucketed
+    # map-side left join — under 100 TB high-duplication the pair graph is
+    # corpus-order and this is the only shape that survives.
+    members = labeled.map_batches(_member_keep, batch_format="pyarrow")
+    joined = bucketed_join(
+        docs.select_columns(["doc_id"]), members, ["doc_id"], how="left",
+        num_buckets=max(num_parts, 32),
+    )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.coalesce(t["keep_id"], t["doc_id"])
+        return pa.table({"doc_id": t["doc_id"], "keep_id": keep})
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
 
 
 # -- SimHash ----------------------------------------------------------------

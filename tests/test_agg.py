@@ -58,3 +58,82 @@ def test_write_solution(ray_session, tmp_path):
     back = rd.read_parquet(out).to_pandas()
     assert set(back.columns) == {"vid", "rank"}
     assert len(back) == 4
+
+
+def test_bucketed_join_inner_left_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from pregel_ray.agg import bucketed_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 400, 3000),
+            "lv": rng.random(3000),
+            "lid": np.arange(3000),
+        }
+    )
+    # right: only keys 0..299 present → some left rows unmatched
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(300),
+            "name": [f"n{i}" for i in range(300)],
+            "rint": np.arange(300) * 7,
+        }
+    )
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    for how in ("inner", "left"):
+        got = bucketed_join(
+            lds, rds, ["k"], ["rk"], how=how, num_buckets=16
+        ).to_pandas()
+        want = left.merge(
+            right.rename(columns={"rk": "k"}), on="k", how=how
+        )
+        got = got.sort_values(["lid"], ignore_index=True)
+        want = want.sort_values(["lid"], ignore_index=True)
+        assert list(got.columns) == ["k", "lv", "lid", "name", "rint"]
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "lid"]], want[["k", "lv", "lid"]], check_dtype=False
+        )
+        assert got["name"].fillna("-").tolist() == want["name"].fillna("-").tolist()
+        # int carrier must come back INTEGER (null where unmatched), not double
+        pd.testing.assert_series_equal(
+            got["rint"].astype("Int64"),
+            want["rint"].astype("Int64"),
+            check_names=False,
+        )
+
+
+def test_bucketed_join_schema_stability_and_collisions(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.agg import bucketed_join
+
+    # left keys that match NOTHING → all-null right carriers in every
+    # bucket; schema must still be the declared one (no `null` types)
+    left = pd.DataFrame({"k": [1000, 2000, 3000], "v": [1.0, 2.0, 3.0]})
+    right = pd.DataFrame({"k": [1, 2], "v": [9.0, 8.0], "s": ["x", "y"]})
+    out = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), ["k"], how="left",
+        num_buckets=4,
+    )
+    sch = out.schema().base_schema
+    assert sch.field("k").type == pa.int64()
+    assert sch.field("v_r").type == pa.float64()  # collision suffixed
+    assert sch.field("s").type == pa.string()
+    got = out.to_pandas().sort_values("k", ignore_index=True)
+    assert got["s"].isna().all() and got["v_r"].isna().all()
+    assert got["v"].tolist() == [1.0, 2.0, 3.0]
+
+    # string keys, inner
+    l2 = pd.DataFrame({"name": ["a", "b", "c", "a"], "x": [1, 2, 3, 4]})
+    r2 = pd.DataFrame({"name": ["a", "c"], "y": [10, 30]})
+    g2 = (
+        bucketed_join(rd.from_pandas(l2), rd.from_pandas(r2), ["name"], num_buckets=8)
+        .to_pandas()
+        .sort_values("x", ignore_index=True)
+    )
+    assert g2["name"].tolist() == ["a", "c", "a"]
+    assert g2["y"].tolist() == [10, 30, 10]

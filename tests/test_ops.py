@@ -285,3 +285,98 @@ def test_langid_and_quality(docs_ds, docs_pd):
         row = q.iloc[i]
         assert (row["n_words"], row["n_stop"], row["sum_len"]) == (n_words, n_stop, sum_len)
         assert row["quality_ppm"] == stop_x * 5 // 6 + (5_000_000 - dev) // 10
+
+
+def test_asof_join_forward_matches_merge_asof(ray_session):
+    """direction='forward' bucketed as-of vs a global pandas merge_asof."""
+    import pyarrow.parquet as pq
+
+    from pregel_ray.ops.relational import error_next_click_asof
+
+    got = error_next_click_asof(SF).to_pandas().sort_values(
+        "event_id", ignore_index=True
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    errors = ev[ev["event_type"] == "error"][["event_id", "ts", "user_id"]]
+    clicks = ev[ev["event_type"] == "click"][["ts", "user_id"]]
+    want = pd.merge_asof(
+        errors.sort_values("ts"),
+        clicks.sort_values("ts").rename(columns={"ts": "click_ts"}),
+        left_on="ts", right_on="click_ts", by="user_id", direction="forward",
+    )
+    want = want[want["click_ts"].notna()].sort_values("event_id", ignore_index=True)
+    assert got["event_id"].dtype == errors["event_id"].dtype, got.dtypes
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "click_ts"]],
+        want[["event_id", "user_id", "click_ts"]],
+        check_dtype=False,
+    )
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """Vectorized bucketed range join vs a brute-force pandas merge+filter,
+    on a synthetic frame engineered for edge cases: empty ranges, full-key
+    ranges, duplicate right values, keys present on only one side."""
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import range_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["u1", "u2", "u3", "only_left"], 300),
+            "lo": rng.integers(0, 80, 300),
+            "lid": np.arange(300),
+        }
+    )
+    left["hi"] = left["lo"] + rng.integers(0, 25, 300)  # some empty ranges
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["u1", "u2", "u3", "only_right"], 500),
+            "pos": rng.integers(0, 100, 500),  # duplicates guaranteed
+            "rv": rng.random(500),
+        }
+    )
+    got = (
+        range_join(
+            rd.from_pandas(left), rd.from_pandas(right), by="k",
+            left_lo="lo", left_hi="hi", right_on="pos",
+            right_cols={"pos": "pos", "rv": "rv"}, num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["lid", "pos", "rv"], ignore_index=True)
+    )
+    brute = left.merge(right, on="k")
+    brute = brute[(brute["pos"] >= brute["lo"]) & (brute["pos"] <= brute["hi"])]
+    brute = brute.sort_values(["lid", "pos", "rv"], ignore_index=True)
+    assert len(got) == len(brute)
+    pd.testing.assert_frame_equal(
+        got[["k", "lo", "lid", "hi", "pos", "rv"]],
+        brute[["k", "lo", "lid", "hi", "pos", "rv"]],
+        check_dtype=False,
+    )
+
+
+def test_error_clicks_1h_range_vs_duckdb(ray_session):
+    import duckdb
+
+    from pregel_ray.ops.relational import error_clicks_1h_range
+
+    got = error_clicks_1h_range(SF).to_pandas().sort_values(
+        "event_id", ignore_index=True
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT e.event_id, COUNT(*) AS n_clicks_1h
+        FROM (SELECT event_id, ts, user_id
+              FROM read_parquet('{SF}/events.parquet')
+              WHERE event_type = 'error') e
+        JOIN (SELECT ts, user_id FROM read_parquet('{SF}/events.parquet')
+              WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts BETWEEN e.ts - INTERVAL '1 hour' AND e.ts
+        GROUP BY e.event_id ORDER BY e.event_id
+        """
+    ).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["n_clicks_1h"].tolist() == want["n_clicks_1h"].tolist()
