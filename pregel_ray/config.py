@@ -48,6 +48,21 @@ class EngineConfig:
     # reservations and runs SLOWER than K separate executions (sf1.0
     # @8 cpus: 38 s → 65 s at K=4); opt-in, semantics-tested either way.
     chain_supersteps: int = 1
+    # Superstep executor. "dataset" (default): each superstep is one Ray
+    # Data execution — streaming, spill-friendly, the 100 TB shape.
+    # "actors" (opt-in, actor_loop.py): a pool of long-lived actors holds
+    # per-partition state in process memory and exchanges combined message
+    # chunks through plasma with the driver routing only ObjectRefs —
+    # bypassing the ~0.2 s/step Dataset plan-build/executor floor that
+    # dominates small/medium graphs (BENCH/BASELINE.md). Bit-identical
+    # semantics (same scatter/apply/combine code paths, tested); trades
+    # the streaming executor's spill/backpressure for latency, so prefer
+    # it when per-partition state+shards fit worker heaps.
+    executor: str = "dataset"
+    # Actor-executor pool size. None → min(num_parts, cluster CPUs - 2)
+    # (two CPUs stay free so shard loads / checkpoint writes / mutation
+    # rebuilds — plain Ray tasks — can run beside the pinned pool).
+    actor_workers: int | None = None
     # BSP loop
     max_supersteps: int = 200
     checkpoint_interval: int = 0  # 0 = only final; K = every K supersteps

@@ -143,6 +143,27 @@ def _part_adjacency(token: str, part: int, refs, shards_of_part, n_local_map):
     return adj
 
 
+def combine_msg_chunks(msg_chunks: list[dict]) -> dict | None:
+    """Concatenate unpacked message-chunk column dicts (already in
+    deterministic producing-shard order) into the single msgs dict
+    `Algorithm.apply` receives. ``*_pkl`` columns decode to Python lists
+    exposed as ``_obj_*`` keys. Shared by the Dataset apply path and the
+    raw-actor executor (actor_loop.py) so delivery semantics are
+    bit-identical."""
+    if not msg_chunks:
+        return None
+    msgs: dict = {}
+    for k in msg_chunks[0]:
+        if k.endswith("_pkl"):
+            lst: list = []
+            for c in msg_chunks:
+                lst.extend(unpack_obj(c[k]))
+            msgs["_obj_" + k] = lst
+        else:
+            msgs[k] = np.concatenate([c[k] for c in msg_chunks])
+    return msgs
+
+
 def _row(part, kind, shard, blob, active=0, nmsg=0, m1=0.0, m2=0.0, agg=b""):
     return {
         "part": np.int32(part),
@@ -253,6 +274,7 @@ class Engine:
         self.graph_source = graph_source
         self._mutation_epoch = 0
         self.dead: set[int] = set()  # tombstoned vids (delete_vertex)
+        self._actor_pools: dict = {}  # (shard_dir, W) -> actor-executor pool
 
     # -- superstep stage factories (plain functions → stateless Ray tasks that
     #    reuse warm workers; CSR state is plasma-resident, so actor affinity
@@ -340,18 +362,7 @@ class Engine:
         shards = group["shard"].to_numpy(zero_copy_only=False)
         msg_idx = msg_idx[np.argsort(shards[msg_idx], kind="stable")]
         msg_chunks = [unpack(group["blob"][int(j)].as_py()) for j in msg_idx]
-        if msg_chunks:
-            msgs = {}
-            for k in msg_chunks[0]:
-                if k.endswith("_pkl"):
-                    lst: list = []
-                    for c in msg_chunks:
-                        lst.extend(unpack_obj(c[k]))
-                    msgs["_obj_" + k] = lst
-                else:
-                    msgs[k] = np.concatenate([c[k] for c in msg_chunks])
-        else:
-            msgs = None
+        msgs = combine_msg_chunks(msg_chunks)
 
         if needs_edges:
             ctx["_adj"] = _part_adjacency(token, part, refs, shards_of_part, n_local_map)
@@ -715,6 +726,11 @@ class Engine:
         import time
 
         from . import checkpoint as ckpt
+
+        if self.cfg.executor == "actors":
+            from .actor_loop import run_actor_loop
+
+            return run_actor_loop(self, algorithm, params, run_dir, resume)
 
         params = {**self.cfg.params, **(params or {})}
 
