@@ -61,7 +61,16 @@ def run_bench() -> dict:
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
 
-    cfg = EngineConfig(num_parts=max(16, 2 * num_cpus), num_buckets=max(8, num_cpus))
+    # Superstep executor: the actor pool (actor_loop.py) removes the
+    # ~0.2 s/step Dataset plan-build floor — bit-identical semantics
+    # (tests/test_actor_loop.py), measured per-scale in BENCH/BASELINE.md.
+    # GRAFT_EXECUTOR=dataset reruns the Dataset-native path.
+    executor = os.environ.get("GRAFT_EXECUTOR", "actors")
+    aw = os.environ.get("GRAFT_ACTOR_WORKERS")
+    cfg = EngineConfig(
+        num_parts=max(16, 2 * num_cpus), num_buckets=max(8, num_cpus),
+        executor=executor, actor_workers=int(aw) if aw else None,
+    )
     times: dict[str, float] = {}
 
     t0 = time.monotonic()
@@ -73,8 +82,10 @@ def run_bench() -> dict:
     times["build_graph"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    res = Engine(shards_d, cfg).run(PageRank())
+    eng_d = Engine(shards_d, cfg)
+    res = eng_d.run(PageRank())
     times["pagerank"] = time.monotonic() - t0
+    eng_d.close()  # free the pinned actor pool before the next engine
     supersteps = res.supersteps
     # per-superstep medians are robust to transient stalls (virtualized CPU
     # steal causes 1.5× run-to-run swings in single wall-clock samples)
@@ -85,12 +96,14 @@ def run_bench() -> dict:
 
     t0 = time.monotonic()
     shards_u = build_shards(edges, verts, f"{work}/shards_u", cfg, variant=UNDIRECTED)
-    rcc = Engine(shards_u, cfg).run(ConnectedComponents())
+    eng_u = Engine(shards_u, cfg)  # shared: cc+lpa reuse one pool
+    rcc = eng_u.run(ConnectedComponents())
     times["cc"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    Engine(shards_u, cfg).run(LabelPropagation(max_iters=10))
+    eng_u.run(LabelPropagation(max_iters=10))
     times["lpa"] = time.monotonic() - t0
+    eng_u.close()
 
     t0 = time.monotonic()
     pv = triangle_counts(edges, num_buckets=cfg.num_buckets).materialize()
@@ -105,6 +118,7 @@ def run_bench() -> dict:
         "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": sf,
         "num_cpus": num_cpus,
+        "executor": executor,
         "n_vertices": meta["n_vertices"],
         "n_edges": meta["n_edges"],
         "supersteps": supersteps,
@@ -134,9 +148,15 @@ def run_scaling() -> None:
     )
     sf = os.environ.get("GRAFT_SCALING_SF", "2.0")
     results = {}
+    executor = os.environ.get("GRAFT_EXECUTOR", "actors")
     for n in (lo_cpus, hi_cpus):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    GRAFT_SF_DIR=f"/root/testdata/sf{sf}")
+        if executor == "actors" and "GRAFT_ACTOR_WORKERS" not in os.environ:
+            # pool = cpus/2 on BOTH legs so the engine's parallelism ratio
+            # equals the CPU ratio — the default (cpus-2) would give the
+            # 8-cpu leg 6× the 2-cpu leg's workers and overstate efficiency
+            env["GRAFT_ACTOR_WORKERS"] = str(max(1, n // 2))
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -167,6 +187,7 @@ def run_scaling() -> None:
                 f"supersteps_per_sec_{hi_cpus}": results[hi_cpus]["supersteps_per_sec"],
                 "sf": results[hi_cpus]["sf"],
                 "cpus": [lo_cpus, hi_cpus],
+                "executor": executor,
             }
         )
     )

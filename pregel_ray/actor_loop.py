@@ -16,15 +16,23 @@ Design — the Dataset pipeline's roles, redistributed:
                                        (zero-copy plasma, fetched once),
                                        per-part meta, and the mutable
                                        per-part state dicts
-    one superstep                      driver calls step(ctx, inbox_refs)
-                                       on every actor; each actor applies
-                                       + fused-scatters its parts and
-                                       ray.puts ONE outbox per destination
-                                       actor; the driver routes only the
-                                       (W × W) ObjectRefs — message bytes
-                                       move actor→plasma→actor, never
-                                       through the driver
-    barrier                            ray.get of the W step returns
+    one superstep                      driver calls step(ctx) on every
+                                       actor; each actor applies + fused-
+                                       scatters its parts and pushes each
+                                       destination's chunks DIRECTLY to
+                                       the owning peer (post.remote, keyed
+                                       by delivery superstep) — Ray inlines
+                                       small pushes in the RPC and spills
+                                       big ones to plasma, so the exchange
+                                       batches adaptively and never moves
+                                       bytes through the driver (a ray.put
+                                       per destination was measured 5×
+                                       slower at W=30: 900 small store
+                                       objects/step contending on plasma)
+    barrier                            ray.get of the W step returns, then
+                                       of the returned push-ack refs — so
+                                       every inbox is complete before any
+                                       step(S+1) is issued
     metrics / aggregators              per-part (metrics, agg) ride the
                                        step returns; folded with the same
                                        Engine._fold_mailbox as the
@@ -89,10 +97,21 @@ class _PartWorker:
         self.part_to_widx = dict(part_to_widx)
         self.token = token
         self.algo = None
+        self.peers = None  # full pool handle list (set_peers)
         self.state: dict = {}  # part -> state column dict
         self.last: dict = {}  # part -> (metrics dict, agg bytes) of last apply
-        self.pending: list = []  # inbox chunks loaded from a state dataset
+        self.inbox: dict = {}  # delivery superstep -> inbox chunk list
         self._adj: dict = {}  # part -> src-sorted adjacency (per-vertex API)
+
+    def set_peers(self, peers):
+        self.peers = peers
+
+    def post(self, ss, chunks):
+        """Inbox push from a peer's fused scatter, keyed by DELIVERY
+        superstep: exact regardless of cross-caller arrival interleaving
+        (Ray orders actor tasks per caller, not globally), and delivery
+        itself sorts by producing shard gid — arrival order never matters."""
+        self.inbox.setdefault(ss, []).extend(chunks)
 
     # -- internals ---------------------------------------------------------
 
@@ -130,22 +149,34 @@ class _PartWorker:
                     out.append((int(dst_part), gid, n, pack(cols)))
         return out
 
-    def _route(self, chunks):
-        """Group outgoing chunks by destination worker; one plasma object per
-        destination so a W-actor superstep moves ≤ W² refs through the
-        driver and the bytes go plasma-direct."""
+    def _deliver(self, ss, chunks):
+        """Push outgoing chunks straight to their destination workers
+        (`peer.post.remote`, delivery superstep ``ss``) and return the ack
+        refs — the driver awaits them as part of the superstep barrier.
+        Ray inlines small call args in the RPC and auto-spills large ones
+        to plasma, so the exchange batches adaptively; an explicit
+        ray.put-per-destination was measured 5× slower at W=30 (900 small
+        objects/step contending on the store). Own-partition messages
+        short-circuit locally."""
         by_w: dict[int, list] = {}
         for ch in chunks:
             by_w.setdefault(self.part_to_widx[ch[0]], []).append(ch)
-        return {w: ray.put(lst) for w, lst in sorted(by_w.items())}
+        acks = []
+        for w, lst in sorted(by_w.items()):
+            if w == self.widx:
+                self.inbox.setdefault(ss, []).extend(lst)
+            else:
+                acks.append(self.peers[w].post.remote(ss, lst))
+        return acks
 
     # -- lifecycle ---------------------------------------------------------
 
     def init_parts(self, algo, ctx):
         """algorithm.init per owned part + the fused initial scatter
-        (identical to Engine.init_state's per-part body)."""
+        (identical to Engine.init_state's per-part body; the initial
+        scatter delivers at superstep 1)."""
         self.algo = algo
-        self.state, self.last, self.pending = {}, {}, []
+        self.state, self.last, self.inbox = {}, {}, {}
         self._adj = {}
         posts, out = {}, []
         for part in self.parts:
@@ -158,15 +189,16 @@ class _PartWorker:
             self.last[part] = (metrics, b"")
             posts[part] = (metrics, b"")
             out.extend(rows)
-        return posts, self._route(out)
+        return posts, self._deliver(1, out)
 
-    def load_state(self, algo, block_refs):
+    def load_state(self, algo, block_refs, next_ss):
         """Resume / post-mutation load from a CHUNK_SCHEMA state dataset:
-        pick out this worker's state rows and pending inbox chunks.
-        Returns per-part (metrics, agg) so the driver can rebuild `prev`
-        exactly like Engine._collect does on resume."""
+        pick out this worker's state rows, and its pending inbox chunks
+        keyed for delivery at ``next_ss`` (the superstep the run continues
+        at). Returns per-part (metrics, agg) so the driver can rebuild
+        `prev` exactly like Engine._collect does on resume."""
         self.algo = algo
-        self.state, self.last, self.pending = {}, {}, []
+        self.state, self.last, self.inbox = {}, {}, {}
         self._adj = {}
         mine = set(self.parts)
         posts = {}
@@ -189,21 +221,25 @@ class _PartWorker:
                     self.last[part] = (m, agg)
                     posts[part] = (m, agg)
                 else:
-                    self.pending.append(
+                    self.inbox.setdefault(next_ss, []).append(
                         (part, int(t["shard"][i].as_py()),
                          int(t["nmsg"][i].as_py()), blob)
                     )
         return posts
 
-    def step(self, ctx, inbox_refs):
+    def timings(self):
+        return getattr(self, "_t", None)
+
+    def step(self, ctx):
         """One superstep over the owned parts: combine inbox → apply →
-        fused scatter. Returns per-part (metrics, agg bytes) and the
-        routed outbox refs for S+1."""
+        fused scatter. Returns per-part (metrics, agg bytes) and the ack
+        refs of the pushes delivering S+1's messages (the driver awaits
+        them as part of the barrier, so every inbox is complete before
+        any step(S+1) call is issued)."""
+        t0 = time.monotonic()
         algo = self.algo
-        chunks = self.pending
-        self.pending = []
-        for ref in inbox_refs:
-            chunks.extend(ray.get(ref))
+        ss = int(ctx["superstep"])
+        chunks = self.inbox.pop(ss, [])
         by_part: dict[int, list] = {}
         for ch in chunks:
             by_part.setdefault(ch[0], []).append(ch)
@@ -226,13 +262,19 @@ class _PartWorker:
             self.last[part] = (metrics, agg_bytes)
             posts[part] = (metrics, agg_bytes)
             out.extend(rows)
-        return posts, self._route(out)
+        t_compute = time.monotonic() - t0
+        acks = self._deliver(ss + 1, out)
+        t_push = time.monotonic() - t0 - t_compute
+        t = getattr(self, "_t", None) or [0.0, 0.0, 0]
+        self._t = [t[0] + t_compute, t[1] + t_push, t[2] + 1]
+        return posts, acks
 
-    def collect_state(self, pending_refs):
+    def collect_state(self):
         """This worker's slice of the run state as a CHUNK_SCHEMA Arrow
         table: one kind=0 row per owned part (same blob `pack` as the
-        Dataset path) plus kind=1 rows for the undelivered inbox chunks
-        the driver passes back in. Read-only — the pool keeps running."""
+        Dataset path) plus kind=1 rows for the not-yet-consumed inbox
+        chunks (the driver awaits all delivery acks before calling this,
+        so the inbox is complete). Read-only — the pool keeps running."""
         rows = []
         for part in self.parts:
             m, agg_bytes = self.last.get(part, ({}, b""))
@@ -243,11 +285,9 @@ class _PartWorker:
                     m1=m.get("m1", 0.0), m2=m.get("m2", 0.0), agg=agg_bytes,
                 )
             )
-        chunks = list(self.pending)
-        for ref in pending_refs:
-            chunks.extend(ray.get(ref))
-        for dst_part, gid, n, blob in chunks:
-            rows.append(_row(dst_part, 1, gid, blob, nmsg=n))
+        for ss in sorted(self.inbox):
+            for dst_part, gid, n, blob in self.inbox[ss]:
+                rows.append(_row(dst_part, 1, gid, blob, nmsg=n))
         return _table(rows)
 
 
@@ -310,29 +350,32 @@ def _get_pool(engine, W: int):
         for w in range(W)
     ]
     pool = (workers, part_to_widx)
+    ray.get([w.set_peers.remote(workers) for w in workers])
     engine._actor_pools[key] = pool
     return pool
 
 
-def _route_results(results, W: int):
-    """results[i] = (posts, {dst_widx: ref}) in worker order → merged posts
-    + per-destination inbox ref lists (source-worker order = deterministic,
-    though delivery sorts by gid anyway)."""
+def _gather(results):
+    """results[i] = (posts, ack refs) in worker order → merged posts + the
+    flat ack list; the driver ray.gets the acks as the second half of the
+    superstep barrier (every peer post landed before the next step)."""
     posts: dict = {}
-    inbox: list[list] = [[] for _ in range(W)]
+    acks: list = []
     for r in results:
         posts.update(r[0])
-        for dst_w, ref in r[1].items():
-            inbox[dst_w].append(ref)
-    return posts, inbox
+        acks.extend(r[1])
+    return posts, acks
 
 
-def _collect_ds(workers, inbox) -> rd.Dataset:
-    """State dataset (CHUNK_SCHEMA) from the pool + undelivered inbox refs.
-    The identity map_batches transfers block ownership out of the actors so
-    the result outlives the pool (checkpoints, RunResult.state, mutation
-    application all consume this)."""
-    futs = [w.collect_state.remote(inbox[i]) for i, w in enumerate(workers)]
+def _collect_ds(workers, acks) -> rd.Dataset:
+    """State dataset (CHUNK_SCHEMA) from the pool (owned parts + any
+    not-yet-consumed inbox chunks; `acks` awaited first so deliveries are
+    complete). The identity map_batches transfers block ownership out of
+    the actors so the result outlives the pool (checkpoints,
+    RunResult.state, mutation application all consume this)."""
+    if acks:
+        ray.get(list(acks))
+    futs = [w.collect_state.remote() for w in workers]
     ds = rd.from_arrow_refs(futs).map_batches(
         lambda t: t, batch_format="pyarrow"
     ).materialize()
@@ -384,12 +427,12 @@ def run_actor_loop(engine, algorithm, params=None, run_dir=None,
 
     W = _pool_size(engine)
     workers, _ = _get_pool(engine, W)
-    inbox: list[list] = [[] for _ in range(W)]
+    acks: list = []
 
     if state_ds is not None:
         block_refs = list(state_ds.to_arrow_refs())
         posts = {}
-        for p in ray.get([w.load_state.remote(algorithm, block_refs)
+        for p in ray.get([w.load_state.remote(algorithm, block_refs, start)
                           for w in workers]):
             posts.update(p)
         prev, agg = engine._fold_mailbox(posts, start - 1, algorithm)
@@ -398,17 +441,17 @@ def run_actor_loop(engine, algorithm, params=None, run_dir=None,
         results = ray.get(
             [w.init_parts.remote(algorithm, _ctx(1)) for w in workers]
         )
-        posts, inbox = _route_results(results, W)
+        posts, acks = _gather(results)
         prev, agg = engine._fold_mailbox(posts, 0, algorithm)
         history = [prev]
         if run_dir:
-            ckpt.write(run_dir, 0, _collect_ds(workers, inbox), history,
+            ckpt.write(run_dir, 0, _collect_ds(workers, acks), history,
                        engine_meta=_engine_meta())
         start = 1
 
     s = start - 1
     if s > 0 and algorithm.should_stop(prev, s):
-        return RunResult(state=_collect_ds(workers, inbox), history=history,
+        return RunResult(state=_collect_ds(workers, acks), history=history,
                          supersteps=s, converged=True, algorithm=algorithm,
                          P=engine.shards.P)
 
@@ -418,10 +461,11 @@ def run_actor_loop(engine, algorithm, params=None, run_dir=None,
         t0 = time.monotonic()
         ss = s + 1
         ctx = _ctx(ss, prev, agg)
-        results = ray.get(
-            [w.step.remote(ctx, inbox[i]) for i, w in enumerate(workers)]
-        )
-        posts, inbox = _route_results(results, W)
+        # barrier half 1: inbox[ss] is complete before any step(ss) runs
+        if acks:
+            ray.get(acks)
+        results = ray.get([w.step.remote(ctx) for w in workers])
+        posts, acks = _gather(results)  # half 2 awaited before step(ss+1)
         prev, agg = engine._fold_mailbox(posts, ss, algorithm)
         prev.duration = time.monotonic() - t0
         history.append(prev)
@@ -433,18 +477,19 @@ def run_actor_loop(engine, algorithm, params=None, run_dir=None,
             # boundary mutations: pull the run state out of the pool, apply
             # through the shared Dataset-native path (delta shard rebuild),
             # then reload a pool on the new epoch
-            state_ds = _collect_ds(workers, inbox)
+            state_ds = _collect_ds(workers, acks)
             state_ds, _, _ = engine._apply_mutations(muts, state_ds, algorithm)
             workers, _ = _get_pool(engine, W)  # new shard_dir → fresh pool
             block_refs = list(state_ds.to_arrow_refs())
-            ray.get([w.load_state.remote(algorithm, block_refs) for w in workers])
-            inbox = [[] for _ in range(W)]
+            ray.get([w.load_state.remote(algorithm, block_refs, s + 1)
+                     for w in workers])
+            acks = []
 
         if run_dir and cfg.checkpoint_interval and s % cfg.checkpoint_interval == 0:
-            ckpt.write(run_dir, s, _collect_ds(workers, inbox), history,
+            ckpt.write(run_dir, s, _collect_ds(workers, acks), history,
                        engine_meta=_engine_meta())
 
-    final_state = _collect_ds(workers, inbox)
+    final_state = _collect_ds(workers, acks)
     if run_dir:
         ckpt.write(run_dir, s, final_state, history, final=True,
                    engine_meta=_engine_meta())

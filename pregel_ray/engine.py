@@ -276,6 +276,18 @@ class Engine:
         self.dead: set[int] = set()  # tombstoned vids (delete_vertex)
         self._actor_pools: dict = {}  # (shard_dir, W) -> actor-executor pool
 
+    def close(self) -> None:
+        """Release the actor-executor pool (executor="actors") explicitly.
+        Pools also die with the Engine via GC, but a pinned pool holds
+        `actor_workers` CPUs — call this before building another Engine in
+        the same session so two full-width pools never contend for cores.
+        RunResult.state survives (block ownership is transferred out of the
+        pool at collection, actor_loop._collect_ds)."""
+        for pool in self._actor_pools.values():
+            for w in pool[0]:
+                ray.kill(w)
+        self._actor_pools.clear()
+
     # -- superstep stage factories (plain functions → stateless Ray tasks that
     #    reuse warm workers; CSR state is plasma-resident, so actor affinity
     #    is unnecessary and per-superstep actor-pool relaunch cost is avoided)
