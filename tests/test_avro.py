@@ -51,6 +51,86 @@ def test_dataset_round_trip_matches_parquet(ray_session, tmp_path, transcripts):
             assert (a.to_numpy() == b.to_numpy()).all(), c
 
 
+def test_deflate_codec_round_trip(tmp_path):
+    """RFC 1951 raw-deflate blocks: identical values, smaller file, and the
+    container metadata advertises the codec."""
+    from pregel_ray.avro_io import read_avro_table, write_avro_table
+
+    tbl = pa.table(
+        {
+            "k": pa.array(list(range(4000)), pa.int64()),
+            "txt": pa.array(["the same compressible text"] * 4000),
+        }
+    )
+    raw, packed = str(tmp_path / "n.avro"), str(tmp_path / "d.avro")
+    write_avro_table(tbl, raw, block_rows=512, codec="null")
+    write_avro_table(tbl, packed, block_rows=512, codec="deflate")
+    data = open(packed, "rb").read()
+    assert b"deflate" in data[:200]  # codec in header metadata
+    assert len(data) < len(open(raw, "rb").read()) / 4
+    back = read_avro_table(data)
+    for col in tbl.schema.names:
+        assert back[col].to_pylist() == tbl[col].to_pylist(), col
+
+
+def test_complex_types_round_trip(tmp_path):
+    """array / map / nested record / fixed — the reference binding's full
+    lattice (pregel/avro/constants.lua:9-25) minus its libavro LINK type."""
+    from pregel_ray.avro_io import read_avro_table, write_avro_table
+
+    tbl = pa.table(
+        {
+            "arr": pa.array([[1, 2], [], None, [3]], pa.list_(pa.int64())),
+            "m": pa.array(
+                [{"a": 1.5}, {}, None, {"x": -2.0, "y": 0.0}],
+                pa.map_(pa.string(), pa.float64()),
+            ),
+            "rec": pa.array(
+                [
+                    {"name": "n1", "score": 0.5},
+                    {"name": None, "score": 2.0},
+                    None,
+                    {"name": "n4", "score": None},
+                ],
+                pa.struct([("name", pa.string()), ("score", pa.float64())]),
+            ),
+            "fx": pa.array([b"abcd", b"0123", None, b"\x00\x01\x02\x03"],
+                           pa.binary(4)),
+            "deep": pa.array(
+                [{"tags": ["a", "b"]}, {"tags": []}, None, {"tags": ["z"]}],
+                pa.struct([("tags", pa.list_(pa.string()))]),
+            ),
+        }
+    )
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"c_{codec}.avro")
+        write_avro_table(tbl, path, block_rows=3, codec=codec)
+        back = read_avro_table(open(path, "rb").read())
+        assert back.schema == tbl.schema, codec
+        for col in tbl.schema.names:
+            assert back[col].to_pylist() == tbl[col].to_pylist(), (codec, col)
+
+
+def test_enum_and_general_union_codec():
+    """Enum and multi-branch unions have no Arrow column mapping (documented:
+    project before read) but the value codec must round-trip them — that is
+    the surface a third-party Avro file exercises."""
+    import io
+
+    from pregel_ray.avro_io import _decoder_for, _encoder_for
+
+    enum_t = {"type": "enum", "name": "suit", "symbols": ["H", "S", "C", "D"]}
+    enc, dec = _encoder_for(enum_t), _decoder_for(enum_t)
+    for sym in ("H", "D"):
+        assert dec(io.BytesIO(enc(sym))) == sym
+
+    union_t = ["null", "long", "string", {"type": "array", "items": "long"}]
+    enc, dec = _encoder_for(union_t), _decoder_for(union_t)
+    for v in (None, 42, -(2**50), "text", [1, 2, 3], []):
+        got = dec(io.BytesIO(enc(v)))
+        assert got == (list(v) if isinstance(v, list) else v), v
+
+
 def test_primitive_types_and_nulls(tmp_path):
     from pregel_ray.avro_io import read_avro_table, write_avro_table
 
