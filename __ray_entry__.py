@@ -327,18 +327,20 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pregel_ray import pipelines as P
+    from pregel_ray.io_util import read_parquet as _read_parquet
+
 
     def _docs(sf_dir):
         import ray.data as rd
 
         # every doc op consumes only (doc_id, text) — prune at the read
-        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+        return _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def _emb(sf_dir):
         import ray.data as rd
 
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return _read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def ann_topk(sf_dir):
         import numpy as np

@@ -30,6 +30,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from .io_util import read_parquet as _read_parquet
+
 
 def _dir(run_dir: str, superstep: int) -> str:
     return os.path.join(run_dir, f"superstep={superstep}")
@@ -97,6 +99,6 @@ def try_resume(run_dir: str):
     if meta.get("final"):
         # fully finished run: caller may still resume-from-final (no-op loop)
         pass
-    state = rd.read_parquet(os.path.join(d, "values")).materialize()
+    state = _read_parquet(os.path.join(d, "values")).materialize()
     history = [Metrics(**m) for m in meta["history"]]
     return k + 1, state, history, meta.get("engine_meta")

@@ -50,6 +50,7 @@ import ray.data as rd
 from .chunks import pack, unpack, unpack_obj
 from .config import EngineConfig
 from .graph import ShardSet
+from .io_util import read_parquet as _read_parquet
 
 CHUNK_SCHEMA = pa.schema(
     [
@@ -464,7 +465,7 @@ class Engine:
         add_vertices = [m[1:] for m in muts if m[0] == "add_vertex"]  # (name, value)
         add_edges = sorted(m[1:] for m in muts if m[0] == "add_edge")
 
-        edges = rd.read_parquet(gs["edges_dir"])
+        edges = _read_parquet(gs["edges_dir"])
         affected: set[int] = set()
 
         # -- phases 1+2: deletes. One streaming pass COLLECTS the matching
@@ -527,7 +528,7 @@ class Engine:
                     pc.is_in(t["name"], value_set=pa.array(sorted(name_set)))
                 )
 
-            existing = rd.read_parquet(gs["vertices_dir"]).map_batches(
+            existing = _read_parquet(gs["vertices_dir"]).map_batches(
                 _existing, batch_format="pyarrow"
             ).take_all()
             # A tombstoned vid does not reserve its name: the reference's
@@ -589,7 +590,7 @@ class Engine:
         gs["edges_dir"] = new_edges_dir
 
         new_verts_dir = os.path.join(epoch_dir, "vertices")
-        verts = rd.read_parquet(gs["vertices_dir"])
+        verts = _read_parquet(gs["vertices_dir"])
         if new_local:
             # drop stale rows of re-added names (dead vid, same name) so the
             # vertices table keeps one live row per name
@@ -627,7 +628,7 @@ class Engine:
 
         self.shards = build_shards_delta(
             self.shards,
-            rd.read_parquet(new_edges_dir),
+            _read_parquet(new_edges_dir),
             os.path.join(epoch_dir, "shards"),
             self.cfg,
             affected,

@@ -14,11 +14,13 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
+from ..io_util import read_parquet as _read_parquet
+
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-style grouped aggregate over lineitem (column-pruned read,
     vectorized Arrow compute, partial-aggregating groupby)."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -86,7 +88,7 @@ def top_orders_with_customer(sf_dir: str, k: int = 10) -> rd.Dataset:
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
@@ -117,7 +119,7 @@ def top_orders_with_customer(sf_dir: str, k: int = 10) -> rd.Dataset:
     cpath = f"{sf_dir}/customer.parquet"
     cnames = pq.read_schema(cpath).names
     name_col = "c_name" if "c_name" in cnames else cnames[1]
-    cust = rd.read_parquet(
+    cust = _read_parquet(
         cpath, columns=["c_custkey", name_col],
         filter=pads.field("c_custkey").isin(win["o_custkey"].tolist()),
     ).to_pandas()  # ≤ k rows survive the scan filter
@@ -135,7 +137,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     (event_type, hour) count + value sum. Windows = truncation →
     groupby; Ray Data has no watermarks, the table is bounded
     (SURVEY.md: reference has no streaming constructs either)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def _win(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
@@ -254,7 +256,7 @@ def error_click_asof(sf_dir: str) -> rd.Dataset:
     simultaneous) 'click' — inner as-of join on (user_id, ts). Only the
     matched click's ts is emitted (deterministic even if two clicks share
     a timestamp)."""
-    ev = rd.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
     errors = ev.filter(expr="event_type == 'error'").select_columns(
@@ -271,7 +273,7 @@ def error_next_click_asof(sf_dir: str) -> rd.Dataset:
     """Forward as-of: for every 'error' event, the user's NEXT (or
     simultaneous) 'click' — the `direction='forward'` variant the
     backward-only round-2 operator lacked (judge r2 #10)."""
-    ev = rd.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
     errors = ev.filter(expr="event_type == 'error'").select_columns(
@@ -389,7 +391,7 @@ def error_clicks_1h_range(sf_dir: str) -> rd.Dataset:
     absent, matching the SQL oracle's INNER JOIN ... GROUP BY)."""
     from ..agg import group_count
 
-    ev = rd.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
 
@@ -425,7 +427,7 @@ def events_sliding(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
     streaming constructs either, SURVEY.md §2.9)."""
     from ..agg import grouped_apply
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
     def _fan(t: pa.Table) -> pa.Table:
@@ -458,12 +460,12 @@ def events_sliding(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
 
 def supplier_nation_rollup(sf_dir: str) -> rd.Dataset:
     """Join supplier→nation→region (two broadcast joins) + rollup counts."""
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation = _read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = _read_parquet(f"{sf_dir}/region.parquet").to_pandas()
     n_lut = ray.put(dict(zip(nation["n_nationkey"], zip(nation["n_name"], nation["n_regionkey"]))))
     r_lut = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
 
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sup = _read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
 
     def _join(t: pa.Table) -> pa.Table:
         nl, rl = ray.get(n_lut), ray.get(r_lut)

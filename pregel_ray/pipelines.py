@@ -35,6 +35,7 @@ from .edges import build_graph_tables, transcript_columns
 from .engine import Engine
 from .fixtures import transcripts_path
 from .graph import DIRECTED, UNDIRECTED, build_shards
+from .io_util import read_parquet as _read_parquet
 
 PAGERANK_DAMPING = 0.85
 PAGERANK_TOL = 1e-6
@@ -62,7 +63,7 @@ def build_graph(sf_dir: str, cfg: EngineConfig | None = None):
     """transcripts → edges/vertices tables (cached). Returns (paths, cfg, meta)."""
     cfg = cfg or default_cfg()
     p = graph_paths(sf_dir)
-    ds = rd.read_parquet(p["transcripts"], columns=transcript_columns())
+    ds = _read_parquet(p["transcripts"], columns=transcript_columns())
     meta = build_graph_tables(ds, p["graph"], cfg)
     cfg.num_parts = meta["num_parts"]  # honor cached build's partitioning
     return p, cfg, meta
@@ -70,8 +71,8 @@ def build_graph(sf_dir: str, cfg: EngineConfig | None = None):
 
 def shardset(sf_dir: str, variant: str = DIRECTED, cfg: EngineConfig | None = None):
     p, cfg, meta = build_graph(sf_dir, cfg)
-    edges = rd.read_parquet(os.path.join(p["graph"], "edges"))
-    verts = rd.read_parquet(os.path.join(p["graph"], "vertices"))
+    edges = _read_parquet(os.path.join(p["graph"], "edges"))
+    verts = _read_parquet(os.path.join(p["graph"], "vertices"))
     sdir = p["shards_d"] if variant == DIRECTED else p["shards_u"]
     ss = build_shards(edges, verts, sdir, cfg, variant=variant)
     return ss, p, cfg
@@ -163,7 +164,7 @@ def edges_named(sf_dir: str) -> rd.Dataset:
     """(src_name, dst_name, w) — the materialized edge table in name space."""
     p, cfg, _ = build_graph(sf_dir)
     lut_ref = _name_lut_ref(p, cfg)
-    return rd.read_parquet(os.path.join(p["graph"], "edges")).map_batches(
+    return _read_parquet(os.path.join(p["graph"], "edges")).map_batches(
         _rename_vids(lut_ref, {"src_name": "src", "dst_name": "dst"}, keep=["w"]),
         batch_format="pyarrow",
     )
@@ -352,7 +353,7 @@ def triangles_per_vertex(sf_dir: str) -> rd.Dataset:
     from .algorithms.triangles import triangle_counts
 
     p, cfg, _ = build_graph(sf_dir)
-    edges = rd.read_parquet(os.path.join(p["graph"], "edges"))
+    edges = _read_parquet(os.path.join(p["graph"], "edges"))
     pv = triangle_counts(edges, num_buckets=cfg.num_buckets)
     lut_ref = _name_lut_ref(p, cfg)
     return pv.map_batches(
@@ -365,6 +366,6 @@ def triangle_total_table(sf_dir: str) -> pd.DataFrame:
     from .algorithms.triangles import triangle_counts, triangle_total
 
     p, cfg, _ = build_graph(sf_dir)
-    edges = rd.read_parquet(os.path.join(p["graph"], "edges"))
+    edges = _read_parquet(os.path.join(p["graph"], "edges"))
     pv = triangle_counts(edges, num_buckets=cfg.num_buckets).materialize()
     return pd.DataFrame({"total": [triangle_total(pv)]})
