@@ -419,7 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from pregel_ray.ops import relational as R
     from pregel_ray.ops.dedup import exact_duplicates
-    from pregel_ray.ops.text import langid, lexical_stats, quality_scores, token_counts
+    from pregel_ray.ops.text import (langid, lexical_stats, pii_scrub,
+                                     quality_scores, token_counts, vocab_topk)
 
     return {
         # -- transcript link graph (SURVEY.md §2 / north rule core) --------
@@ -439,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_groups": lambda sf: exact_duplicates(_docs(sf)),
         "doc_langid": lambda sf: langid(_docs(sf)),
         "doc_quality": lambda sf: quality_scores(_docs(sf)),
+        "doc_pii_scrub": lambda sf: pii_scrub(_docs(sf)),
+        "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
         "dedup_clusters": dedup_clusters_q,
@@ -504,6 +507,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)""",
         "doc_langid": _langid_sql(),
+        "doc_pii_scrub": r"""
+            WITH s1 AS (SELECT doc_id, text AS t0, regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1 FROM documents),
+                 s2 AS (SELECT *, regexp_replace(t1,
+                   '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS t2 FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '[0-9]+', '<NUM>', 'g') AS text_scrubbed,
+                   len(regexp_extract_all(t0,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t1, '\+?[0-9][0-9() -]{6,}[0-9]'))
+                   + len(regexp_extract_all(t2, '[0-9]+')) AS n_redactions
+            FROM s2""",
+        "doc_vocab_top50": """
+            SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
         "doc_quality": _quality_sql(),
         "dedup_minhash_verified": _jaccard_sql(800_000),
         "dedup_clusters": (

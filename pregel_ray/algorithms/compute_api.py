@@ -147,11 +147,16 @@ class Vertex:
 
     def delete_vertex(self, vid, edges: bool = False):
         """Tombstones the vertex and drops its OUT-edges (the reference's
-        data_space:delete drops the vertex tuple, whose edges are inline);
-        the cascading IN-edge delete is NIY exactly like the reference
-        (`assert(edges == false)`, vertex.lua:183)."""
-        assert edges is False, "cascading in-edge delete: match reference NIY"
-        self._muts.append(("delete_vertex", int(vid)))
+        data_space:delete drops the vertex tuple, whose edges are inline).
+        ``edges=True`` ALSO cascades the IN-edge delete (every edge whose
+        dst is ``vid``) — an extension: the reference declares the flag but
+        leaves it NIY (`assert(edges == false)`, vertex.lua:183). The
+        cascade costs one more vectorized dst-match in the same streaming
+        boundary pass; affected partitions extend to the deleted in-edges'
+        SOURCE parts (where those edges live in the CSR)."""
+        self._muts.append(
+            ("delete_vertex_cascade" if edges else "delete_vertex", int(vid))
+        )
 
     def delete_edge(self, src_vid, dst_vid):
         self._muts.append(("delete_edge", int(src_vid), int(dst_vid)))

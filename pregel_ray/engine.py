@@ -461,7 +461,13 @@ class Engine:
 
         # deterministic intent order within each phase
         del_edges = sorted((int(m[1]), int(m[2])) for m in muts if m[0] == "delete_edge")
-        del_vertices = sorted(int(m[1]) for m in muts if m[0] == "delete_vertex")
+        cascade_vertices = sorted(
+            int(m[1]) for m in muts if m[0] == "delete_vertex_cascade"
+        )
+        del_vertices = sorted(
+            set(int(m[1]) for m in muts if m[0] == "delete_vertex")
+            | set(cascade_vertices)
+        )
         add_vertices = [m[1:] for m in muts if m[0] == "add_vertex"]  # (name, value)
         add_edges = sorted(m[1:] for m in muts if m[0] == "add_edge")
 
@@ -475,6 +481,7 @@ class Engine:
         del_vids = frozenset(del_vertices)
 
         del_vids_arr = np.fromiter(del_vids, np.int64, len(del_vids))
+        cascade_arr = np.array(cascade_vertices, np.int64)
         pair_src = np.fromiter((s for s, _ in del_pairs), np.int64, len(del_pairs))
         pair_dst = np.fromiter((d for _, d in del_pairs), np.int64, len(del_pairs))
 
@@ -482,6 +489,8 @@ class Engine:
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             hit = np.isin(src, del_vids_arr)
+            if len(cascade_arr):  # edges=True extension: in-edges go too
+                hit |= np.isin(dst, cascade_arr)
             if del_pairs:
                 # vectorized candidate prefilter, exact set test on the
                 # (small) candidate rows only

@@ -211,3 +211,90 @@ def rolling_fingerprint(docs: rd.Dataset, window: int = 16,
         return pa.table({"doc_id": t["doc_id"], "rfp": pa.array(out.astype(np.int64))})
 
     return docs.map_batches(_f, batch_format="pyarrow")
+
+
+class PiiScrub:
+    """(doc_id, text_scrubbed, n_redactions): regex redaction of
+    PII-shaped spans — emails, then phone-shaped digit runs, then bare
+    numbers — applied IN ORDER on the running text (so a redacted email's
+    digits are not re-hit by the number rule). Stateful actor stage:
+    patterns compile once per actor in ``__init__`` (the reference has no
+    scalar-fn surface at all, SURVEY.md §2.9; this is the scrub stage a
+    training-data pipeline runs before tokenization).
+
+    Patterns are RE2-compatible so the DuckDB ``regexp_replace(..., 'g')``
+    oracle reproduces the output byte-for-byte; n_redactions counts every
+    span replaced (== the oracle's summed ``regexp_extract_all`` lengths,
+    counted on the same intermediate texts)."""
+
+    RULES = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        (r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+        (r"[0-9]+", "<NUM>"),
+    ]
+
+    def __init__(self):
+        import re
+
+        self.rules = [(re.compile(p), rep) for p, rep in self.RULES]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out, nred = [], []
+        for s in t["text"].to_pylist():
+            n = 0
+            for rx, rep in self.rules:
+                s, k = rx.subn(rep, s)
+                n += k
+            out.append(s)
+            nred.append(n)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_scrubbed": pa.array(out, pa.string()),
+                "n_redactions": pa.array(nred, pa.int64()),
+            }
+        )
+
+
+def pii_scrub(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(PiiScrub, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def vocab_topk(docs: rd.Dataset, k: int = 50) -> rd.Dataset:
+    """Corpus-wide top-k token frequencies (token, n), ties broken by
+    token asc. Shape: explode tokens (zero-copy list_flatten) → bucketed
+    count by token (`agg.group_count`: token cardinality scales with the
+    corpus — the high-cardinality regime) → per-bucket top-k partials
+    (complete per token, since a token's rows land in exactly one bucket)
+    → one tiny single-group fold over ≤ k·num_buckets rows."""
+    from ..agg import group_count
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        return pa.table({"token": pc.list_flatten(toks)})
+
+    counts = group_count(
+        docs.map_batches(_explode, batch_format="pyarrow"), ["token"], alias="n"
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "token"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.head(k), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def _final(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__g").sort_values(["n", "token"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            g.head(k), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        counts.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        .groupby("__g")
+        .map_groups(_final, batch_format="pandas")
+    )

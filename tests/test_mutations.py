@@ -88,6 +88,39 @@ def test_delete_vertex_drops_out_edges(ray_session, tmp_path):
     assert vals[V[3]] == 103.0  # 2→3 still delivers
 
 
+def test_delete_vertex_cascade_in_edges(ray_session, tmp_path):
+    """`delete_vertex(vid, edges=True)` — our extension of the flag the
+    reference declares but leaves NIY (vertex.lua:183): the IN-edges are
+    cascaded too. Deleting v2 of 0→1→2→3 with edges=True removes 1→2
+    (in-edge) and 2→3 (out-edge): v1 keeps computing but its send hits a
+    dropped edge, and v3 hears nothing."""
+    tbl = fixtures.g_line4()
+    cfg = EngineConfig(num_parts=4)
+    g = MicroGraph(tbl, str(tmp_path / "s"), cfg, n_vertices=4)
+    V = {i: int(v) for i, v in zip(g.ids, g.vid_of)}
+
+    def compute(v):
+        s = v.get_superstep()
+        v.set_value(v.get_value() + 1)
+        if s == 1 and v.get_name() == V[0]:
+            v.delete_vertex(V[2], edges=True)
+        if s == 2:
+            for _, dst, _ in v.pairs_edges():
+                v.send_message(dst, 100.0)
+        if s == 3:
+            for m in v.pairs_messages():
+                v.set_value(v.get_value() + m)
+        v.vote_halt(s >= 3)
+
+    algo = ComputeAlgorithm(compute=compute, initial_value=0.0)
+    res = Engine(g.shards, cfg, graph_source=dict(g.graph_source)).run(algo)
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+    vals = dict(zip(vt["vid"], vt["value"]))
+    assert vals[V[1]] == 103.0  # 0→1 still delivers
+    assert vals[V[2]] == 1.0  # tombstoned after s1
+    assert vals[V[3]] == 3.0  # 2→3 cascade-deleted with the vertex
+
+
 def test_add_vertex_named_and_deduped(ray_session, tmp_path):
     """add_vertex with a user name (obtain_name contract): partition
     derives from the name hash; adding an existing name is skipped."""
