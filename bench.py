@@ -20,6 +20,11 @@ import subprocess
 import sys
 import time
 
+# Size the object store to the recommended 50% of available memory (the
+# sandbox default is ~43%, which Ray warns about at every executor start);
+# must be set before ray.init reads it.
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+
 
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,7 +44,9 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
-    ctx.DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
+    # NB: Ray's warning names DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION,
+    # but the live DataContext field is the lowercase one.
+    ctx.enable_progress_bar_name_truncation = False
 
     # Ray's sort-based groupby emits SCHEMA-LESS empty blocks for empty
     # reduce partitions (inevitable when distinct keys < sort partitions);
