@@ -151,3 +151,53 @@ def test_primitive_types_and_nulls(tmp_path):
     back = read_avro_table(open(path, "rb").read())
     for col in tbl.schema.names:
         assert back[col].to_pylist() == tbl[col].to_pylist(), col
+
+
+def test_avro_property_round_trip(tmp_path):
+    """Property test (hypothesis): random tables over the primitive +
+    nullable lattice round-trip bit-exactly through the container codec,
+    both codecs, any block_rows split."""
+    from hypothesis import given, settings, strategies as st
+
+    from pregel_ray.avro_io import read_avro_table, write_avro_table
+
+    scalar = {
+        "i64": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        "f64": st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),  # NaN != NaN breaks equality
+        ),
+        "s": st.one_of(st.none(), st.text(max_size=40)),
+        "b": st.one_of(st.none(), st.booleans()),
+        "raw": st.one_of(st.none(), st.binary(max_size=24)),
+        "arr": st.one_of(
+            st.none(), st.lists(st.integers(-(2**40), 2**40), max_size=6)
+        ),
+    }
+    types = {
+        "i64": pa.int64(), "f64": pa.float64(), "s": pa.string(),
+        "b": pa.bool_(), "raw": pa.large_binary(),
+        "arr": pa.list_(pa.int64()),
+    }
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(
+            st.fixed_dictionaries({k: v for k, v in scalar.items()}),
+            min_size=0, max_size=17,
+        ),
+        block_rows=st.sampled_from([1, 3, 8192]),
+        codec=st.sampled_from(["null", "deflate"]),
+    )
+    def check(rows, block_rows, codec):
+        tbl = pa.table(
+            {k: pa.array([r[k] for r in rows], types[k]) for k in types}
+        )
+        path = str(tmp_path / "prop.avro")
+        write_avro_table(tbl, path, block_rows=block_rows, codec=codec)
+        back = read_avro_table(open(path, "rb").read())
+        assert back.schema == tbl.schema
+        for c in types:
+            assert back[c].to_pylist() == tbl[c].to_pylist(), c
+
+    check()
