@@ -48,8 +48,9 @@ checkpointed under one executor resumes under the other.
 
 Trade-offs vs the Dataset path (why this is OPT-IN, not the default):
 per-partition state and message volume must fit the owning actor's heap
-(no streaming spill), hub-split sub-shards scatter serially inside their
-owner (no child-task fan-out), and a lost actor loses its state (recover
+(no streaming spill), a hub partition's APPLY/combine stays serial inside
+its owner (its sub-shards' scatter does fan out to child tasks, like the
+Dataset path's hybrid scatter), and a lost actor loses its state (recover
 from the last checkpoint; the Dataset path instead re-executes lineage).
 At 100 TB with large per-step data movement the Dataset executor's
 streaming/backpressure wins; for latency-bound regimes — many supersteps
@@ -73,6 +74,25 @@ from .engine import Metrics, RunResult, _row, _table, combine_msg_chunks
 # outbox/inbox chunk tuple: (dst_part, producing shard gid, nmsg, packed cols)
 
 
+@ray.remote(num_cpus=0)
+def _scatter_shard(algo, ctx, shard, gid, state, pmeta):
+    """One sub-shard's scatter as a child task of its owning pool actor —
+    the actor-loop twin of engine._scatter_one (hub-split partitions
+    otherwise scatter their sub-shards serially inside the owner, the
+    documented skew trade-off). `shard` and `state` arrive as ObjectRefs
+    → zero-copy plasma views. num_cpus=0: pool actors HOLD their CPU
+    while blocked in ray.get (actor reservations are for life, unlike
+    tasks), so a CPU-reserving child could never schedule when the pool
+    spans every core — the children are short vectorized bursts that run
+    while their parent blocks."""
+    out = []
+    for dst_part, cols in algo.scatter(shard, pmeta or {}, state, ctx):
+        n = len(cols["dst"])
+        if n:
+            out.append((int(dst_part), gid, n, pack(cols)))
+    return out
+
+
 @ray.remote
 class _PartWorker:
     """One pool member: owns `parts`, their CSR shard plasma views, meta,
@@ -80,10 +100,12 @@ class _PartWorker:
     delivery order is deterministic regardless of arrival order."""
 
     def __init__(self, widx, parts, shard_refs, meta_refs, shards_of_part,
-                 n_local_map, part_to_widx, token):
+                 n_local_map, part_to_widx, token, parallel_scatter=True):
         self.widx = widx
         self.parts = sorted(parts)
         self.shards_of_part = {p: list(shards_of_part.get(p, ())) for p in self.parts}
+        self.shard_refs = dict(shard_refs)  # kept for child-task scatter
+        self.parallel_scatter = bool(parallel_scatter)
         # fetch once, hold zero-copy plasma views for the pool's lifetime
         self.shards = {
             gid: ray.get(shard_refs[gid])
@@ -140,8 +162,27 @@ class _PartWorker:
         return adj
 
     def _scatter(self, algo, ctx, part, state):
+        gids = self.shards_of_part[part]
+        if len(gids) > 1 and self.parallel_scatter:
+            # hub-split partition: fan sub-shards out as child tasks (the
+            # blocked ray.get yields this actor's CPU to the children);
+            # gid-ordered collection keeps the chunk stream bit-identical
+            # to the serial path.
+            slim = {k: v for k, v in ctx.items() if not k.startswith("_")}
+            state_ref = ray.put(state)
+            futs = [
+                _scatter_shard.remote(
+                    algo, slim, self.shard_refs[g], g, state_ref,
+                    self.meta.get(part),
+                )
+                for g in gids
+            ]
+            out = []
+            for rows in ray.get(futs):
+                out.extend(rows)
+            return out
         out = []
-        for gid in self.shards_of_part[part]:
+        for gid in gids:
             for dst_part, cols in algo.scatter(self.shards[gid], self.meta[part],
                                                state, ctx):
                 n = len(cols["dst"])
@@ -346,6 +387,7 @@ def _get_pool(engine, W: int):
             dict(engine.shards.n_local),
             part_to_widx,
             engine.shards.shard_dir,
+            engine.cfg.parallel_scatter,
         )
         for w in range(W)
     ]

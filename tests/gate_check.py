@@ -54,12 +54,30 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # oracle_sql() is the DRIVER's contract: static SQL strings evaluated
+    # at the driver's sf0.01. Oracles that embed fixture/golden paths
+    # (graph queries over the transcripts fixture, the multimodal golden)
+    # can only be cross-checked at that scale — at any other sf the Ray
+    # side and the SQL would read different data by design.
+    import os
+
+    import __ray_entry__ as _e
+
+    default_scale = os.path.normpath(sf_dir) == os.path.normpath(_e.SF_ORACLE)
+
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if name not in oracles:
             print(f"{name:32s} SKIP (no oracle)")
+            continue
+        sql = oracles[name]
+        if not default_scale and (
+            "pregel_ray_fixtures" in sql or "tests/golden" in sql
+        ):
+            print(f"{name:32s} SKIP (oracle pinned to {_e.SF_ORACLE} "
+                  "fixture paths)")
             continue
         try:
             res = fn(sf_dir)

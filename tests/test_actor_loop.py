@@ -44,8 +44,9 @@ def test_pagerank_actor_executor_bit_identical(ray_session, tmp_path):
 
 
 def test_pagerank_actor_hub_split_and_convergence(ray_session, tmp_path):
-    """Hub-split sub-shards (serial inside their owning actor) and
-    tolerance-based convergence must match the Dataset executor exactly."""
+    """Hub-split sub-shards (fanned to child tasks by their owning actor,
+    gid-ordered collection) and tolerance-based convergence must match the
+    Dataset executor exactly."""
     tbl = fixtures.g_hub()
     cfg_split = _cfg(max_edges_per_shard=16)
     g = MicroGraph(tbl, str(tmp_path / "s"), cfg_split)
