@@ -342,6 +342,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def doc_sample(sf_dir):
+        # deterministic 10% content-hash sample: reproducible on any
+        # cluster size / block layout (no RNG), exact SQL oracle via
+        # md5_number_lower — the training-corpus subsample shape
+        from pregel_ray.agg import hash_sample
+
+        return hash_sample(_docs(sf_dir), "doc_id", 100).select_columns(
+            ["doc_id", "text"]
+        )
+
+    def customers_without_big_orders(sf_dir):
+        # ANTI join (bucketed existence join, agg.bucketed_join): customers
+        # with NO order above 300k — the NOT-EXISTS shape; the right side
+        # is filtered at the scan and only its KEYS ride the shuffle
+        from pregel_ray.agg import bucketed_join
+
+        cust = _read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        orders = _read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).filter(expr="o_totalprice > 300000").select_columns(["o_custkey"])
+        return bucketed_join(
+            cust, orders, ["c_custkey"], ["o_custkey"], how="anti"
+        )
+
     def ann_topk(sf_dir):
         import numpy as np
 
@@ -441,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": lambda sf: langid(_docs(sf)),
         "doc_quality": lambda sf: quality_scores(_docs(sf)),
         "doc_pii_scrub": lambda sf: pii_scrub(_docs(sf)),
+        "doc_sample_100pm": doc_sample,
         "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
@@ -458,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_next_click_asof": lambda sf: R.error_next_click_asof(sf),
         "events_error_clicks_1h_range": lambda sf: R.error_clicks_1h_range(sf),
         "supplier_nation_rollup": lambda sf: R.supplier_nation_rollup(sf),
+        "customers_without_big_orders": customers_without_big_orders,
     }
 
 
@@ -507,6 +535,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)""",
         "doc_langid": _langid_sql(),
+        "doc_sample_100pm": """
+            SELECT doc_id, text FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 100""",
+        "customers_without_big_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
         "doc_pii_scrub": r"""
             WITH s1 AS (SELECT doc_id, text AS t0, regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',

@@ -124,13 +124,22 @@ def bucketed_join(
 
     Scale shape: one shuffle of each side by key hash; a bucket costs
     its row count (both sides of any key land in one bucket — skewed
-    keys cost their rows, never all-pairs across buckets)."""
-    assert how in ("inner", "left"), how
+    keys cost their rows, never all-pairs across buckets).
+
+    ``how="semi"`` / ``"anti"`` return LEFT rows (left's columns only,
+    no duplication) whose key does / does not appear on the right —
+    the existence-join pair the checklist lists alongside hash joins;
+    per bucket they are one vectorized ``isin`` mask, and only the
+    right side's KEY columns ride the shuffle."""
+    assert how in ("inner", "left", "semi", "anti"), how
     right_on = right_on or left_on
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
     lcols = list(lschema.names)
-    rvals = [c for c in rschema.names if c not in right_on]
+    existence = how in ("semi", "anti")
+    # existence joins emit left rows only — nothing but the right KEYS
+    # needs to ride the shuffle
+    rvals = [] if existence else [c for c in rschema.names if c not in right_on]
     out_r = {c: (c + rsuffix if c in lcols else c) for c in rvals}
 
     def _tag_left(t: pa.Table) -> pa.Table:
@@ -168,8 +177,18 @@ def bucketed_join(
 
     def _merge(g: pd.DataFrame) -> pa.Table:
         l = g[g["__side"] == 0][lcols]
-        r = g[g["__side"] == 1][left_on + r_out]
-        out = pd.merge(l, r, on=left_on, how=how)
+        if existence:
+            rk = g[g["__side"] == 1][left_on]
+            if len(left_on) == 1:
+                mask = l[left_on[0]].isin(rk[left_on[0]])
+            else:
+                mask = pd.MultiIndex.from_frame(l[left_on]).isin(
+                    pd.MultiIndex.from_frame(rk)
+                )
+            out = l[mask] if how == "semi" else l[~mask]
+        else:
+            r = g[g["__side"] == 1][left_on + r_out]
+            out = pd.merge(l, r, on=left_on, how=how)
         return pa.Table.from_pandas(
             out, schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
@@ -209,3 +228,33 @@ def distinct(ds: rd.Dataset, keys: list[str], num_buckets: int = 128) -> rd.Data
         return g.drop_duplicates(keys)[keys]
 
     return grouped_apply(ds, keys, _d, num_buckets)
+
+
+def hash_sample(
+    ds: rd.Dataset, key: str, permille: int, out_of: int = 1000
+) -> rd.Dataset:
+    """Deterministic content-hash sampling: keep rows whose
+    md5-low64(str(key)) % out_of < permille. No RNG state — the SAME rows
+    survive on any cluster size, any run, any block layout (the property
+    a reproducible training-corpus subsample needs; `Dataset.random_sample`
+    is seed+layout dependent). Pure map: no shuffle, prunes at full scan
+    speed. The hash convention is DuckDB's `md5_number_lower(CAST(key AS
+    VARCHAR))` (same trick the SimHash oracle uses, ops/dedup.py:417), so
+    an exact SQL oracle exists."""
+    import hashlib
+
+    def _keep(t: pa.Table) -> pa.Table:
+        vals = t[key].to_pylist()
+        m = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(v).encode()).digest()[8:], "little"
+                ) % out_of
+                < permille
+                for v in vals
+            ),
+            np.bool_, len(vals),
+        )
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

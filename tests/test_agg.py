@@ -137,3 +137,50 @@ def test_bucketed_join_schema_stability_and_collisions(ray_session):
     )
     assert g2["name"].tolist() == ["a", "c", "a"]
     assert g2["y"].tolist() == [10, 30, 10]
+
+
+def test_bucketed_join_semi_anti_vs_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pregel_ray.agg import bucketed_join
+
+    rng = np.random.RandomState(3)
+    l = pd.DataFrame({"k": rng.randint(0, 40, 200), "v": np.arange(200)})
+    r = pd.DataFrame({"kk": rng.randint(0, 40, 60)})
+    keys = set(r["kk"])
+    for how in ("semi", "anti"):
+        got = (
+            bucketed_join(rd.from_pandas(l), rd.from_pandas(r), ["k"], ["kk"],
+                          how=how, num_buckets=8)
+            .to_pandas().sort_values(["k", "v"], ignore_index=True)
+        )
+        mask = l["k"].isin(keys)
+        want = (l[mask] if how == "semi" else l[~mask]).sort_values(
+            ["k", "v"], ignore_index=True
+        )
+        assert list(got.columns) == ["k", "v"], how  # left columns only
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict())), how
+
+
+def test_hash_sample_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from pregel_ray.agg import hash_sample
+
+    df = pd.DataFrame({"id": np.arange(1000), "x": np.arange(1000) * 2})
+    got = hash_sample(rd.from_pandas(df), "id", 250).to_pandas()
+    keep = df[
+        df["id"].map(
+            lambda v: int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[8:], "little") % 1000 < 250
+        )
+    ]
+    assert sorted(got["id"]) == sorted(keep["id"])
+    # layout-independent: different block structure, same surviving rows
+    got2 = hash_sample(
+        rd.from_pandas(df).repartition(7), "id", 250
+    ).to_pandas()
+    assert sorted(got2["id"]) == sorted(got["id"])
