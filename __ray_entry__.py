@@ -443,6 +443,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = 256 if "0.01" in sf_dir else 64
         return quantize_features(media_features(rd.from_arrow(synth_media(n))))
 
+    def events_hll(sf_dir):
+        # HyperLogLog register table (p=8) of distinct users per event
+        # type — the sketch IS the shuffle payload (≤ types × 256 rows);
+        # deterministic md5-low64 hash → the SQL oracle rebuilds the
+        # exact registers via md5_number_lower + bin()-bit-length. The
+        # estimate derived from these registers is checked for accuracy
+        # in tests/test_sketch.py (same exact-regime/approx-regime split
+        # as ann_ivf_topk).
+        from pregel_ray.ops.sketch import hll_registers
+
+        ev = _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return hll_registers(ev, "user_id", by=["event_type"], p=8)
+
     from pregel_ray.ops import relational as R
     from pregel_ray.ops.dedup import exact_duplicates
     from pregel_ray.ops.text import (langid, lexical_stats, pii_scrub,
@@ -485,7 +500,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_next_click_asof": lambda sf: R.error_next_click_asof(sf),
         "events_error_clicks_1h_range": lambda sf: R.error_clicks_1h_range(sf),
         "supplier_nation_rollup": lambda sf: R.supplier_nation_rollup(sf),
+        "supplier_nation_cube": lambda sf: R.supplier_nation_cube(sf),
         "customers_without_big_orders": customers_without_big_orders,
+        "events_user_sessions": lambda sf: R.events_user_sessions(sf),
+        "lineitem_quantity_quantiles": lambda sf: R.lineitem_quantity_quantiles(sf),
+        "events_hll_users": events_hll,
     }
 
 
@@ -673,4 +692,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name, n.n_name""",
+        # grouping NULLs → 'ALL' sentinel on both sides (the hash
+        # normalizes None and NaN differently; names are never null, so
+        # the sentinel is unambiguous)
+        "supplier_nation_cube": """
+            SELECT COALESCE(r.r_name, 'ALL') AS r_name,
+                   COALESCE(n.n_name, 'ALL') AS n_name,
+                   COUNT(*) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY CUBE (r.r_name, n.n_name)""",
+        # gap sessionization: new session iff first event of the user or
+        # >30 min since the previous one (order: ts, then event_id)
+        "events_user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid""",
+        # quantile_disc semantics: 0-based rank floor((n-1)*q/1000) of
+        # the sorted multiset — identical to exact_quantiles' picker
+        "lineitem_quantity_quantiles": """
+            WITH s AS (SELECT l_quantity AS value,
+                              ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn,
+                              COUNT(*) OVER () AS n
+                       FROM lineitem),
+                 qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille)
+            SELECT q.q_permille, s.value
+            FROM qs q JOIN s ON s.rn = (s.n - 1) * q.q_permille // 1000 + 1""",
+        # HLL registers rebuilt in SQL: register = low 8 hash bits, rho =
+        # 1 + leading zeros of the remaining 56 (bin() strips leading
+        # zeros, so length(bin(x)) IS bit_length(x));
+        # md5_number_lower == python md5 digest low-8-bytes little-endian
+        "events_hll_users": """
+            WITH h AS (SELECT event_type,
+                              md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+                       FROM events),
+            r AS (SELECT event_type,
+                         CAST(hv % 256 AS INTEGER) AS register,
+                         hv // 256 AS rem
+                  FROM h)
+            SELECT event_type, register,
+                   CAST(MAX(CASE WHEN rem = 0 THEN 57
+                                 ELSE 57 - length(bin(rem)) END) AS INTEGER)
+                       AS max_rho
+            FROM r GROUP BY event_type, register""",
     }

@@ -105,6 +105,7 @@ def bucketed_join(
     how: str = "inner",
     num_buckets: int = 128,
     rsuffix: str = "_r",
+    bloom_bits: int | None = None,
 ) -> rd.Dataset:
     """Hash-bucketed map-side equi-join: both sides tag into ONE union
     (typed-null carriers for the other side's columns), bucket by key
@@ -130,7 +131,15 @@ def bucketed_join(
     no duplication) whose key does / does not appear on the right —
     the existence-join pair the checklist lists alongside hash joins;
     per bucket they are one vectorized ``isin`` mask, and only the
-    right side's KEY columns ride the shuffle."""
+    right side's KEY columns ride the shuffle.
+
+    ``bloom_bits`` (inner/semi only): build a Bloom filter over the
+    right keys (one extra streaming pass over the right's key columns)
+    and drop left rows whose key provably has no match BEFORE they ride
+    the shuffle. No false negatives → the result is bit-identical; false
+    positives just reach the per-bucket exact merge and drop there. Pays
+    off when the left is much larger than its matching subset (the
+    selective-join shape); size ≈ 10× right's distinct keys."""
     assert how in ("inner", "left", "semi", "anti"), how
     right_on = right_on or left_on
     lschema = _arrow_schema(left)
@@ -142,7 +151,38 @@ def bucketed_join(
     rvals = [] if existence else [c for c in rschema.names if c not in right_on]
     out_r = {c: (c + rsuffix if c in lcols else c) for c in rvals}
 
+    bloom_ref = None
+    if bloom_bits and how in ("inner", "semi"):
+        import ray
+
+        from .ops.sketch import bloom_build
+
+        def _rkeys(t: pa.Table) -> pa.Table:
+            # right keys cast to the LEFT key types + names so both
+            # sides hash identical values
+            return pa.table(
+                {
+                    lc: t[rc].cast(lschema.field(lc).type)
+                    for lc, rc in zip(left_on, right_on)
+                }
+            )
+
+        bloom_ref = ray.put(
+            bloom_build(
+                right.map_batches(_rkeys, batch_format="pyarrow"),
+                left_on, bloom_bits,
+            )
+        )
+
     def _tag_left(t: pa.Table) -> pa.Table:
+        if bloom_ref is not None:
+            import ray
+
+            from .ops.sketch import bloom_contains
+
+            t = t.filter(
+                pa.array(bloom_contains(t, left_on, ray.get(bloom_ref), bloom_bits))
+            )
         bk = (_hash_cols(t, left_on) % np.uint64(num_buckets)).astype(np.int32)
         for c in rvals:
             t = t.append_column(out_r[c], pa.nulls(t.num_rows, rschema.field(c).type))

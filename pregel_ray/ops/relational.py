@@ -458,6 +458,152 @@ def events_sliding(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
                          ["event_type", "wstart"], _agg)
 
 
+def sessionize(
+    ds: rd.Dataset,
+    by: str,
+    ts_col: str,
+    gap: pd.Timedelta,
+    tiebreak: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Gap-based session windows — the classic behavioral/streaming
+    operator neither Ray Data nor the reference has (SURVEY.md §2.9: the
+    reference is strictly synchronous BSP, no streaming constructs). A
+    new session starts at the first event of a `by` key and whenever the
+    gap to the previous event (ordered by `ts_col`, then `tiebreak` for
+    deterministic tie order) exceeds `gap`.
+
+    Output: one row per session — (by, session_id [1-based per key],
+    session_start, session_end, n_events).
+
+    Scale shape: hash-bucketed by `by` (every key's events co-locate),
+    then ONE vectorized pass per bucket: sort, shift-diff, cumsum —
+    no per-key Python loop. A bucket costs its row count; hot keys sort
+    within their bucket (O(n log n)); raise `num_buckets` for memory.
+    Matches the bounded-table semantics of a watermark-complete stream
+    (late data would simply re-run the owning bucket)."""
+    from ..agg import grouped_apply
+
+    def _sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, ts_col, tiebreak], kind="mergesort")
+        same_key = g[by].eq(g[by].shift(1))
+        gap_ok = g[ts_col].diff() <= gap
+        new_s = ~(same_key & gap_ok)  # first row of key, or gap exceeded
+        sid_global = new_s.cumsum()
+        base = sid_global.where(new_s & ~same_key).ffill()
+        g = g.assign(__sid=(sid_global - base + 1).astype(np.int64))
+        out = g.groupby([by, "__sid"], sort=False, as_index=False).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out.rename(columns={"__sid": "session_id"})
+
+    return grouped_apply(ds, [by], _sess, num_buckets=num_buckets)
+
+
+def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user session table over the events stream (30-minute
+    inactivity gap), ties broken by event_id."""
+    ev = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return sessionize(
+        ev, by="user_id", ts_col="ts",
+        gap=pd.Timedelta(minutes=gap_minutes), tiebreak="event_id",
+    ).select_columns(
+        ["user_id", "session_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def exact_quantiles(
+    ds: rd.Dataset, col: str, qs_permille: list[int]
+) -> rd.Dataset:
+    """Exact discrete quantiles via a distributed value histogram: one
+    bucketed group-count by value (the corpus collapses to ≤ |domain|
+    rows map-side), then a single tiny fold picks, for each requested
+    quantile q, the value at 0-based rank floor((n-1)·q/1000) of the
+    sorted multiset (`quantile_disc` semantics).
+
+    Partitioning assumption: the DISTINCT-value domain is bounded (here
+    l_quantity has 50 values; enumerable codes, star ratings, lengths in
+    tokens all qualify) — the histogram, not the data, is what moves.
+    For unbounded continuous domains the scale path is a t-digest /
+    KLL-style mergeable sketch; this operator is the exact-regime
+    counterpart (same pattern as IVF's exhaustive-probe oracle mode).
+
+    Output: (q_permille: int64, value: input dtype)."""
+    from ..agg import group_count
+
+    hist = group_count(ds.select_columns([col]), [col], alias="__n")
+    qs = np.asarray(sorted(qs_permille), np.int64)
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        cum = g["__n"].cumsum().to_numpy()
+        n = cum[-1]
+        ranks = (n - 1) * qs // 1000  # 0-based target ranks
+        idx = np.searchsorted(cum, ranks + 1, side="left")
+        return pd.DataFrame(
+            {"q_permille": qs, "value": g[col].to_numpy()[idx]}
+        )
+
+    # single-group final fold: only the histogram (≤ |domain| rows)
+    # ever concentrates — same __g pattern as top_orders_with_customer
+    return (
+        hist.map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        .groupby("__g")
+        .map_groups(lambda g: _pick(g.drop(columns="__g")), batch_format="pandas")
+    )
+
+
+def lineitem_quantity_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact l_quantity quantiles (p25/p50/p75/p90/p99) — the
+    bounded-domain exact-quantile shape."""
+    ds = _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    return exact_quantiles(ds, "l_quantity", [250, 500, 750, 900, 990])
+
+
+def supplier_nation_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(region, nation) supplier counts: every row fans to
+    its 4 grouping-set rows map-side ('ALL' sentinel instead of SQL's
+    grouping NULL — the driver gate's hash normalizes None and NaN
+    differently, and the sentinel also reads better), then ONE bucketed
+    group-count — the same single-shuffle shape as the plain rollup."""
+    from ..agg import group_count
+
+    nation = _read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = _read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    n_lut = ray.put(dict(zip(nation["n_nationkey"], zip(nation["n_name"], nation["n_regionkey"]))))
+    r_lut = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    sup = _read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+
+    def _fan(t: pa.Table) -> pa.Table:
+        nl, rl = ray.get(n_lut), ray.get(r_lut)
+        nk = t["s_nationkey"].to_pylist()
+        n_name = pa.array([nl[x][0] for x in nk])
+        r_name = pa.array([rl[nl[x][1]] for x in nk])
+        alln = pa.array(["ALL"] * len(nk))
+        return pa.concat_tables(
+            [
+                pa.table({"r_name": r_name, "n_name": n_name}),
+                pa.table({"r_name": r_name, "n_name": alln}),
+                pa.table({"r_name": alln, "n_name": n_name}),
+                pa.table({"r_name": alln, "n_name": alln}),
+            ]
+        )
+
+    return group_count(
+        sup.map_batches(_fan, batch_format="pyarrow"),
+        ["r_name", "n_name"], alias="n_suppliers",
+    )
+
+
 def supplier_nation_rollup(sf_dir: str) -> rd.Dataset:
     """Join supplier→nation→region (two broadcast joins) + rollup counts."""
     nation = _read_parquet(f"{sf_dir}/nation.parquet").to_pandas()

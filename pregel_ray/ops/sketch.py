@@ -1,0 +1,201 @@
+"""Distributed sketches: HyperLogLog distinct-count and Bloom-filter
+join pruning.
+
+The reference has no sketches at all (SURVEY.md §2.9 "sketches /
+approximate aggregates: none"), but a 100 TB training-data pipeline
+needs cardinality estimates (how many distinct users/URLs/shingles)
+without a full `COUNT(DISTINCT)` shuffle, and Bloom pre-filters to keep
+non-matching rows out of join shuffles. Both sketches here follow the
+published algorithms (Flajolet et al. 2007 HyperLogLog; Bloom 1970).
+
+Determinism contract: both sketches are pure functions of the data —
+no RNG, no layout dependence — so HLL registers have an EXACT DuckDB
+oracle (the hash is the md5-low64 convention DuckDB spells
+`md5_number_lower`, same as agg.hash_sample / the SimHash oracle,
+ops/dedup.py:417) and Bloom pruning provably never changes a join
+result (no false negatives; false positives are dropped by the exact
+per-bucket merge that follows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _md5_low64(vals: list) -> np.ndarray:
+    """md5-low64 (little-endian low 8 bytes) per value — DuckDB's
+    `md5_number_lower(CAST(v AS VARCHAR))`. Per-row md5 is the price of
+    SQL-oracle parity; for production scale swap `hash_fn="fnv"` below
+    (vectorized, no oracle)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+            for v in vals
+        ),
+        np.uint64,
+        len(vals),
+    )
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values (0 → 0). Exact for the
+    full 64-bit range — float log2 would lose bits past the 53-bit
+    mantissa."""
+    x = x.copy()
+    r = np.zeros(len(x), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        r[big] += s
+        x[big] >>= np.uint64(s)
+    return r + (x > 0)
+
+
+def hll_registers(
+    ds: rd.Dataset,
+    key: str,
+    by: list[str] | None = None,
+    p: int = 8,
+    hash_fn: str = "md5",
+) -> rd.Dataset:
+    """HyperLogLog register table per `by` group: for each touched
+    register (low `p` hash bits), the max rho (1 + leading-zero count of
+    the remaining 64-p bits). Untouched registers are absent (= 0).
+
+    Scale shape: the sketch IS the reduction — each block folds its rows
+    into ≤ m=2^p (by, register, rho) partials map-side, then one bucketed
+    max-merge ships at most groups × m tiny rows through the shuffle;
+    the corpus never moves. Sketches merge by elementwise max, so the
+    same code serves partial sketches per shard / per day / per source.
+
+    `hash_fn="md5"` matches DuckDB `md5_number_lower` (exact SQL oracle);
+    `"fnv"` is the vectorized production hash (edges.stable_hash)."""
+    from ..agg import grouped_apply
+
+    by = by or []
+    m_mask = np.uint64((1 << p) - 1)
+    rem_bits = 64 - p
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if hash_fn == "md5":
+            h = _md5_low64(t[key].to_pylist())
+        else:
+            from ..edges import stable_hash
+
+            col = t[key]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                h = stable_hash(col.to_numpy(zero_copy_only=False))
+            else:
+                h = stable_hash(
+                    col.to_numpy(zero_copy_only=False).astype(str).astype(object)
+                )
+        reg = (h & m_mask).astype(np.int32)
+        rem = h >> np.uint64(p)
+        rho = (rem_bits - _bit_length_u64(rem) + 1).astype(np.int32)
+        cols = {b: t[b] for b in by}
+        cols["register"] = pa.array(reg)
+        cols["rho"] = pa.array(rho)
+        part = pa.table(cols)
+        # map-side fold: ≤ m rows per (by-group, block) leave this task
+        df = part.to_pandas()
+        out = df.groupby(by + ["register"], sort=False, as_index=False)["rho"].max()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(by + ["register"], sort=False, as_index=False)["rho"].max()
+        return out.rename(columns={"rho": "max_rho"})
+
+    return grouped_apply(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        by + ["register"],
+        _merge,
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 8, by: list[str] | None = None) -> pd.DataFrame:
+    """Distinct-count estimate from an `hll_registers` table (small:
+    ≤ groups × 2^p rows — driver-side by design). Standard HLL with the
+    small-range linear-counting correction; relative error ≈ 1.04/√m."""
+    by = by or []
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    def _est(g: pd.DataFrame) -> float:
+        rho = np.zeros(m)
+        rho[g["register"].to_numpy()] = g["max_rho"].to_numpy()
+        e = alpha * m * m / np.sum(np.exp2(-rho))
+        zeros = m - len(g)
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        return e
+
+    if not by:
+        return pd.DataFrame({"estimate": [_est(registers)]})
+    out = registers.groupby(by, sort=False).apply(_est, include_groups=False)
+    return out.rename("estimate").reset_index()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+
+def _bloom_hashes(t: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per row for double hashing
+    (Kirsch–Mitzenmacher: h_i = h1 + i·h2)."""
+    from ..agg import _hash_cols
+
+    h1 = _hash_cols(t, keys)
+    x = h1 * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(29)
+    h2 = (x * np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)  # odd → full cycle
+    return h1, h2
+
+
+def bloom_build(
+    ds: rd.Dataset, keys: list[str], num_bits: int = 1 << 20, k: int = 4
+) -> np.ndarray:
+    """Build a Bloom bitmap (uint64 words) over `keys`. Each block sets
+    its bits into a partial bitmap inside the map task; the driver
+    OR-folds the streamed partials — driver memory is O(num_bits)
+    (one bitmap, 128 KiB at the default), never O(rows). Size num_bits
+    ≈ 10× expected distinct keys for ~1% false positives at k=4."""
+    words = num_bits // 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(words, np.uint64)
+        h1, h2 = _bloom_hashes(t, keys)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+            np.bitwise_or.at(bm, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    out = np.zeros(words, np.uint64)
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b["bm"].to_pylist():
+            out |= np.frombuffer(buf, np.uint64)
+    return out
+
+
+def bloom_contains(
+    t: pa.Table, keys: list[str], bitmap: np.ndarray, num_bits: int, k: int = 4
+) -> np.ndarray:
+    """Vectorized membership mask for one Arrow batch (no false
+    negatives)."""
+    h1, h2 = _bloom_hashes(t, keys)
+    mask = np.ones(t.num_rows, bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+        bit = (bitmap[(idx >> np.uint64(6)).astype(np.int64)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        mask &= bit.astype(bool)
+    return mask

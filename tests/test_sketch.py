@@ -1,0 +1,237 @@
+"""Sketch ops: HyperLogLog (register exactness, merge law, estimate
+accuracy) and Bloom-filter join pruning (bit-identical results, real
+pruning), plus sessionize / exact_quantiles vs independent pandas/numpy
+oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _events(n=4000, users=300, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n)),
+            "user_id": pa.array(rng.integers(0, users, n)),
+            "event_type": pa.array(
+                np.array(["click", "view", "error"])[rng.integers(0, 3, n)]
+            ),
+            "ts": pa.array(
+                pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(np.sort(rng.integers(0, 3_000_000, n)), unit="s")
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_registers_match_reference_fold(ray_session):
+    """Registers from the distributed pipeline == a single-pass fold."""
+    import hashlib
+
+    from pregel_ray.ops.sketch import hll_registers
+
+    t = _events()
+    got = (
+        hll_registers(rd.from_arrow(t).repartition(5), "user_id",
+                      by=["event_type"], p=8)
+        .to_pandas()
+        .sort_values(["event_type", "register"])
+        .reset_index(drop=True)
+    )
+
+    ref = {}
+    for et, uid in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        h = int.from_bytes(hashlib.md5(str(uid).encode()).digest()[8:], "little")
+        reg, rem = h & 255, h >> 8
+        rho = 57 - rem.bit_length() if rem else 57
+        ref[(et, reg)] = max(ref.get((et, reg), 0), rho)
+    want = (
+        pd.DataFrame(
+            [(et, r, v) for (et, r), v in ref.items()],
+            columns=["event_type", "register", "max_rho"],
+        )
+        .sort_values(["event_type", "register"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"register": np.int64, "max_rho": np.int64}),
+        want.astype({"register": np.int64, "max_rho": np.int64}),
+    )
+
+
+def test_hll_merge_law_and_estimate_accuracy(ray_session):
+    """Sketch(A ∪ B) == elementwise-max(Sketch(A), Sketch(B)); the
+    estimate lands within ~3σ of the true distinct count (σ≈1.04/√m)."""
+    from pregel_ray.ops.sketch import hll_estimate, hll_registers
+
+    t = _events(n=6000, users=900)
+    half = t.num_rows // 2
+    a, b = t.slice(0, half), t.slice(half)
+
+    def regs(tbl):
+        return (
+            hll_registers(rd.from_arrow(tbl), "user_id", p=10)
+            .to_pandas()
+            .set_index("register")["max_rho"]
+        )
+
+    merged = regs(a).to_frame().join(regs(b), how="outer", lsuffix="_a").max(axis=1)
+    whole = regs(t)
+    pd.testing.assert_series_equal(
+        merged.sort_index(), whole.sort_index().astype(float), check_names=False
+    )
+
+    est = hll_estimate(
+        whole.reset_index().rename(columns={"max_rho": "max_rho"}), p=10
+    )["estimate"].iloc[0]
+    true = len(set(t["user_id"].to_pylist()))
+    assert abs(est - true) / true < 3 * 1.04 / np.sqrt(1 << 10)
+
+
+def test_hll_fnv_hash_path(ray_session):
+    """The vectorized production hash produces a valid sketch too
+    (estimate sane; registers differ from md5 by design)."""
+    from pregel_ray.ops.sketch import hll_estimate, hll_registers
+
+    t = _events(n=5000, users=700)
+    regs = hll_registers(rd.from_arrow(t), "user_id", p=10,
+                         hash_fn="fnv").to_pandas()
+    est = hll_estimate(regs, p=10)["estimate"].iloc[0]
+    true = len(set(t["user_id"].to_pylist()))
+    assert abs(est - true) / true < 3 * 1.04 / np.sqrt(1 << 10)
+
+
+# -------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives(ray_session):
+    from pregel_ray.ops.sketch import bloom_build, bloom_contains
+
+    keys = pa.table({"k": pa.array(np.arange(0, 5000, 2))})  # evens
+    bm = bloom_build(rd.from_arrow(keys).repartition(4), ["k"], num_bits=1 << 16)
+    probe = pa.table({"k": pa.array(np.arange(5000))})
+    mask = bloom_contains(probe, ["k"], bm, 1 << 16)
+    assert mask[::2].all()  # every member present
+    # false-positive rate on the odd half is small but nonzero
+    fp = mask[1::2].mean()
+    assert fp < 0.05
+
+
+def test_bucketed_join_bloom_identical(ray_session):
+    """inner/semi results are bit-identical with the Bloom pre-filter,
+    and the filter really prunes the shuffle input."""
+    from pregel_ray.agg import bucketed_join
+    from pregel_ray.ops.sketch import bloom_build, bloom_contains
+
+    rng = np.random.default_rng(3)
+    left = pa.table(
+        {"k": pa.array(rng.integers(0, 10_000, 20_000)),
+         "v": pa.array(rng.integers(0, 100, 20_000))}
+    )
+    right = pa.table(
+        {"k": pa.array(rng.integers(0, 300, 500)),  # selective: few keys
+         "w": pa.array(rng.integers(0, 9, 500))}
+    )
+
+    def run(how, bits):
+        return (
+            bucketed_join(
+                rd.from_arrow(left), rd.from_arrow(right), ["k"],
+                how=how, num_buckets=8, bloom_bits=bits,
+            )
+            .to_pandas()
+            .sort_values(["k", "v"] + (["w"] if how == "inner" else []))
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "semi"):
+        pd.testing.assert_frame_equal(run(how, None), run(how, 1 << 16))
+
+    bm = bloom_build(rd.from_arrow(right.select(["k"])), ["k"], 1 << 16)
+    kept = bloom_contains(left, ["k"], bm, 1 << 16).sum()
+    assert kept < len(left) * 0.2  # ≥80% of left pruned pre-shuffle
+
+
+# -------------------------------------- sessionize / exact_quantiles
+
+
+def test_sessionize_vs_pandas_oracle(ray_session):
+    """Independent per-user oracle loop, covering ties (same ts) and an
+    exactly-30-minute gap (NOT a new session — strict >)."""
+    from pregel_ray.ops.relational import sessionize
+
+    rows = []
+    base = pd.Timestamp("2024-05-01")
+    # user 1: gap exactly 30 min (same session), then 30 min + 1 s (new)
+    rows += [(1, 1, base), (2, 1, base + pd.Timedelta(minutes=30)),
+             (3, 1, base + pd.Timedelta(minutes=60, seconds=1))]
+    # user 2: tie timestamps — event_id breaks the order
+    rows += [(5, 2, base), (4, 2, base), (6, 2, base + pd.Timedelta(hours=2))]
+    rng = np.random.default_rng(11)
+    for i in range(400):
+        rows.append(
+            (100 + i, int(rng.integers(3, 20)),
+             base + pd.Timedelta(seconds=int(rng.integers(0, 200_000))))
+        )
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    got = (
+        sessionize(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            by="user_id", ts_col="ts", gap=pd.Timedelta(minutes=30),
+            tiebreak="event_id", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+    want = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        sid, start, last, n = 0, None, None, 0
+        for _, r in g.iterrows():
+            if last is None or r["ts"] - last > pd.Timedelta(minutes=30):
+                if last is not None:
+                    want.append((uid, sid, start, end, n))
+                sid, start, n = sid + 1, r["ts"], 0
+            n += 1
+            last, end = r["ts"], r["ts"]
+        want.append((uid, sid, start, end, n))
+    want = (
+        pd.DataFrame(
+            want,
+            columns=["user_id", "session_id", "session_start",
+                     "session_end", "n_events"],
+        )
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"session_id": np.int64, "n_events": np.int64}), want
+    )
+    # the hand-built cases: user 1 → 2 sessions, user 2 → 2 sessions
+    assert got[got.user_id == 1]["session_id"].max() == 2
+    assert got[got.user_id == 2]["session_id"].max() == 2
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    from pregel_ray.ops.relational import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(1, 51, 30_000).astype(float)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
+    got = (
+        exact_quantiles(ds, "v", [250, 500, 750, 990])
+        .to_pandas()
+        .sort_values("q_permille")
+        .reset_index(drop=True)
+    )
+    s = np.sort(vals)
+    for q, v in zip(got["q_permille"], got["value"]):
+        assert v == s[(len(s) - 1) * q // 1000]
