@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": customers_without_big_orders,
         "events_user_sessions": lambda sf: R.events_user_sessions(sf),
         "lineitem_quantity_quantiles": lambda sf: R.lineitem_quantity_quantiles(sf),
+        "events_value_quantiles": lambda sf: R.events_value_quantiles(sf),
         "events_hll_users": events_hll,
     }
 
@@ -730,6 +731,21 @@ def oracle_sql() -> dict[str, str]:
                               ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn,
                               COUNT(*) OVER () AS n
                        FROM lineitem),
+                 qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille)
+            SELECT q.q_permille, s.value
+            FROM qs q JOIN s ON s.rn = (s.n - 1) * q.q_permille // 1000 + 1""",
+        # sampled quantiles for the unbounded-domain regime: the oracle
+        # rebuilds the IDENTICAL deterministic md5 sample, then the same
+        # rank picker — value-exact even though the op is approximate
+        # (the sample-vs-population gap is bounded by the DKW pytest)
+        "events_value_quantiles": """
+            WITH samp AS (SELECT value FROM events
+                          WHERE md5_number_lower(CAST(event_id AS VARCHAR))
+                                % 1000 < 100),
+                 s AS (SELECT value,
+                              ROW_NUMBER() OVER (ORDER BY value) AS rn,
+                              COUNT(*) OVER () AS n
+                       FROM samp),
                  qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille)
             SELECT q.q_permille, s.value
             FROM qs q JOIN s ON s.rn = (s.n - 1) * q.q_permille // 1000 + 1""",

@@ -561,6 +561,56 @@ def exact_quantiles(
     )
 
 
+def approx_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs_permille: list[int],
+    key: str,
+    sample_permille: int = 100,
+) -> rd.Dataset:
+    """Approximate quantiles for UNBOUNDED value domains — the regime
+    `exact_quantiles`' histogram can't serve. Deterministic content-hash
+    sample on `key` (a unique row id: same rows survive on any cluster
+    size / block layout, agg.hash_sample), then the exact picker over
+    the sample. By Dvoretzky–Kiefer–Wolfowitz the rank error is
+    O(1/√s) with s = sample size (s = 10⁷ → rank error ~3·10⁻⁴ at
+    99% confidence) — and the sample never exceeds `sample_permille`‰
+    of the corpus regardless of scale.
+
+    Same exact-SQL-oracle trick as hash_sample: the oracle rebuilds the
+    identical sample via md5_number_lower, so even the APPROXIMATE op
+    is value-exact against its oracle (the approximation is in the
+    sample-vs-population gap, which the DKW pytest bounds)."""
+    from ..agg import hash_sample
+
+    samp = hash_sample(
+        ds.select_columns([key, col]), key, sample_permille
+    ).select_columns([col])
+    qs = np.asarray(sorted(qs_permille), np.int64)
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy())
+        ranks = (len(v) - 1) * qs // 1000
+        return pd.DataFrame({"q_permille": qs, "value": v[ranks]})
+
+    return (
+        samp.map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        .groupby("__g")
+        .map_groups(lambda g: _pick(g.drop(columns="__g")), batch_format="pandas")
+    )
+
+
+def events_value_quantiles(sf_dir: str) -> rd.Dataset:
+    """Sampled quantiles of the continuous events.value column (10%
+    event_id-keyed deterministic sample)."""
+    ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return approx_quantiles(ev, "value", [250, 500, 750, 900, 990],
+                            key="event_id")
+
+
 def lineitem_quantity_quantiles(sf_dir: str) -> rd.Dataset:
     """Exact l_quantity quantiles (p25/p50/p75/p90/p99) — the
     bounded-domain exact-quantile shape."""
@@ -576,19 +626,14 @@ def supplier_nation_cube(sf_dir: str) -> rd.Dataset:
     group-count — the same single-shuffle shape as the plain rollup."""
     from ..agg import group_count
 
-    nation = _read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    region = _read_parquet(f"{sf_dir}/region.parquet").to_pandas()
-    n_lut = ray.put(dict(zip(nation["n_nationkey"], zip(nation["n_name"], nation["n_regionkey"]))))
-    r_lut = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
-
+    lut = ray.put(_nation_region_lut(sf_dir))
     sup = _read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
 
     def _fan(t: pa.Table) -> pa.Table:
-        nl, rl = ray.get(n_lut), ray.get(r_lut)
-        nk = t["s_nationkey"].to_pylist()
-        n_name = pa.array([nl[x][0] for x in nk])
-        r_name = pa.array([rl[nl[x][1]] for x in nk])
-        alln = pa.array(["ALL"] * len(nk))
+        n_name, r_name = _lookup_names(
+            ray.get(lut), t["s_nationkey"].to_numpy(zero_copy_only=False)
+        )
+        alln = pa.array(np.full(t.num_rows, "ALL"))
         return pa.concat_tables(
             [
                 pa.table({"r_name": r_name, "n_name": n_name}),
@@ -604,23 +649,39 @@ def supplier_nation_cube(sf_dir: str) -> rd.Dataset:
     )
 
 
-def supplier_nation_rollup(sf_dir: str) -> rd.Dataset:
-    """Join supplier→nation→region (two broadcast joins) + rollup counts."""
+def _nation_region_lut(sf_dir: str):
+    """Broadcastable searchsorted LUT: (sorted nationkeys, that order's
+    nation names, that order's region names) — dimension tables are tiny,
+    the lookup inside each batch is two vectorized searchsorted gathers
+    (no per-row dict loop)."""
     nation = _read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     region = _read_parquet(f"{sf_dir}/region.parquet").to_pandas()
-    n_lut = ray.put(dict(zip(nation["n_nationkey"], zip(nation["n_name"], nation["n_regionkey"]))))
-    r_lut = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+    nk = nation["n_nationkey"].to_numpy()
+    order = np.argsort(nk)
+    rname_by_key = region.set_index("r_regionkey")["r_name"]
+    return (
+        nk[order],
+        nation["n_name"].to_numpy()[order],
+        rname_by_key.reindex(nation["n_regionkey"].to_numpy()[order]).to_numpy(),
+    )
 
+
+def _lookup_names(lut, nationkeys: np.ndarray) -> tuple[pa.Array, pa.Array]:
+    keys, n_names, r_names = lut
+    idx = np.searchsorted(keys, nationkeys)
+    return pa.array(n_names[idx]), pa.array(r_names[idx])
+
+
+def supplier_nation_rollup(sf_dir: str) -> rd.Dataset:
+    """Join supplier→nation→region (two broadcast joins) + rollup counts."""
+    lut = ray.put(_nation_region_lut(sf_dir))
     sup = _read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
 
     def _join(t: pa.Table) -> pa.Table:
-        nl, rl = ray.get(n_lut), ray.get(r_lut)
-        nk = t["s_nationkey"].to_pylist()
-        n_name = [nl[x][0] for x in nk]
-        r_name = [rl[nl[x][1]] for x in nk]
-        return pa.table(
-            {"n_name": pa.array(n_name), "r_name": pa.array(r_name)}
+        n_name, r_name = _lookup_names(
+            ray.get(lut), t["s_nationkey"].to_numpy(zero_copy_only=False)
         )
+        return pa.table({"n_name": n_name, "r_name": r_name})
 
     return (
         sup.map_batches(_join, batch_format="pyarrow")

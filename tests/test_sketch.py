@@ -220,6 +220,33 @@ def test_sessionize_vs_pandas_oracle(ray_session):
     assert got[got.user_id == 2]["session_id"].max() == 2
 
 
+def test_approx_quantiles_dkw_bound(ray_session):
+    """Sampled quantiles land within the DKW rank envelope of the true
+    quantiles: with s sample rows, P(sup|F_s - F| > ε) ≤ 2e^(-2sε²) —
+    ε for 99.9% confidence. Checked on a continuous (all-distinct)
+    column, the regime exact_quantiles can't serve."""
+    from pregel_ray.ops.relational import approx_quantiles
+
+    rng = np.random.default_rng(9)
+    n = 200_000
+    vals = rng.standard_normal(n)
+    t = pa.table({"rid": pa.array(np.arange(n)), "v": pa.array(vals)})
+    got = (
+        approx_quantiles(rd.from_arrow(t).repartition(8), "v",
+                         [100, 250, 500, 750, 900], key="rid",
+                         sample_permille=100)
+        .to_pandas()
+        .sort_values("q_permille")
+    )
+    s = np.sort(vals)
+    samp_n = n // 10
+    eps = np.sqrt(np.log(2 / 0.001) / (2 * samp_n))
+    for q, v in zip(got["q_permille"], got["value"]):
+        # rank of the estimate in the TRUE distribution vs target rank
+        rank = np.searchsorted(s, v) / n
+        assert abs(rank - q / 1000) < eps + 1e-3, (q, rank)
+
+
 def test_exact_quantiles_vs_numpy(ray_session):
     from pregel_ray.ops.relational import exact_quantiles
 
