@@ -214,6 +214,37 @@ def _lpa_sql(iters: int = 20) -> str:
     )
 
 
+def _kcore_sql(k: int = 5, rounds: int = 8) -> str:
+    """Unrolled synchronous peeling (one CTE per peel == one BSP
+    superstep of algorithms/kcore.py). Peeling is monotone, so rounds
+    past the fixpoint are identity — `rounds` only needs to exceed the
+    convergence step (measured 3-5 peels at the driver scales; 8 is the
+    safety margin). core_deg = degree within the surviving set."""
+    ctes = ["""
+  und AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+      SELECT src_name AS a, dst_name AS b FROM e
+      UNION ALL SELECT dst_name, src_name FROM e)
+    WHERE a <> b),
+  alive0 AS MATERIALIZED (SELECT DISTINCT a AS name FROM und)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+  alive{r} AS MATERIALIZED (
+    SELECT u.a AS name FROM und u
+    JOIN alive{r - 1} x ON x.name = u.a
+    JOIN alive{r - 1} y ON y.name = u.b
+    GROUP BY u.a HAVING COUNT(*) >= {k})""")
+    return (
+        "WITH " + _edges_cte() + ", " + ",".join(ctes)
+        + f"""
+  SELECT u.a AS name, COUNT(*) AS core_deg
+  FROM und u
+  JOIN alive{rounds} x ON x.name = u.a
+  JOIN alive{rounds} y ON y.name = u.b
+  GROUP BY u.a"""
+    )
+
+
 def _langid_sql() -> str:
     """Profile-trigram containment counts (ops/text.py LangId, exactly)."""
     from pregel_ray.ops.text import LangId
@@ -475,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": lambda sf: P.triangles_per_vertex(sf),
         "triangle_total": lambda sf: P.triangle_total_table(sf),
         "sssp_from_hub": lambda sf: P.sssp_from_hub(sf),
+        "kcore5_members": lambda sf: P.kcore_members(sf, 5),
         # -- training-data ops over documents/embeddings -------------------
         "doc_token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_lexical_stats": lambda sf: lexical_stats(_docs(sf)),
@@ -532,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_clusters": _lpa_sql(20),
         "sssp_from_hub": _sssp_sql(10),
         "cc_labels": _cc_sql(),
+        "kcore5_members": _kcore_sql(5, 8),
         "cc_sizes": (
             "SELECT component, COUNT(*) AS size FROM (" + _cc_sql() + ") GROUP BY component"
         ),

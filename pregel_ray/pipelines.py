@@ -348,6 +348,30 @@ def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) ->
     return res.vertex_table().map_batches(_name, batch_format="pyarrow")
 
 
+def kcore_members(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """(name, core_deg) — vertices of the k-core of the undirected
+    transcript graph, with their degree WITHIN the core (≥ k). One BSP
+    superstep per synchronous peel (algorithms/kcore.py); the SQL oracle
+    unrolls the same peels, and extra rounds past the fixpoint are
+    identity, so a fixed generous unroll matches any convergence step."""
+    from .algorithms.kcore import KCore
+
+    ss, p, cfg = shardset(sf_dir, UNDIRECTED)
+    lut_ref = _name_lut_ref(p, cfg)
+    res = Engine(ss, cfg).run(KCore(k))
+
+    def _name(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keep = t["alive"].to_numpy(zero_copy_only=False).astype(bool)
+        vids = t["vid"].to_numpy(zero_copy_only=False)[keep]
+        deg = t["deg"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"name": pa.array(_names_of(lut, vids)), "core_deg": pa.array(deg)}
+        )
+
+    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+
+
 def triangles_per_vertex(sf_dir: str) -> rd.Dataset:
     """(name, triangles) — only vertices in ≥1 triangle."""
     from .algorithms.triangles import triangle_counts
