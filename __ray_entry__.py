@@ -492,7 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pregel_ray.ops import relational as R
     from pregel_ray.ops.dedup import exact_duplicates
     from pregel_ray.ops.text import (langid, lexical_stats, pii_scrub,
-                                     quality_scores, token_counts, vocab_topk)
+                                     quality_scores, regex_token_counts,
+                                     token_counts, vocab_topk)
 
     return {
         # -- transcript link graph (SURVEY.md §2 / north rule core) --------
@@ -509,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore5_members": lambda sf: P.kcore_members(sf, 5),
         # -- training-data ops over documents/embeddings -------------------
         "doc_token_counts": lambda sf: token_counts(_docs(sf)),
+        "doc_regex_token_counts": lambda sf: regex_token_counts(_docs(sf)),
         "doc_lexical_stats": lambda sf: lexical_stats(_docs(sf)),
         "dedup_exact_groups": lambda sf: exact_duplicates(_docs(sf)),
         "doc_langid": lambda sf: langid(_docs(sf)),
@@ -576,6 +578,11 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": _triangles_cte() + "SELECT COUNT(*) AS total FROM tri",
         "doc_token_counts": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents""",
+        "doc_regex_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_re
             FROM documents""",
         "doc_lexical_stats": """
             SELECT doc_id,

@@ -32,6 +32,24 @@ def token_counts(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(_f, batch_format="pyarrow")
 
 
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_counts(docs: rd.Dataset, pattern: str = BPE_ISH) -> rd.Dataset:
+    """(doc_id, n_tokens_re): BPE-ish regex tokenization count — letter
+    runs, digit runs, single punctuation (the pre-tokenizer split every
+    BPE vocabulary starts from). Vectorized end-to-end:
+    `pc.count_substring_regex` is RE2, the same engine as DuckDB's
+    `regexp_extract_all`, so leftmost non-overlapping match counts agree
+    byte-for-byte (ASCII-explicit classes dodge Unicode-table drift)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens_re": n.cast(pa.int64())})
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
 def lexical_stats(docs: rd.Dataset) -> rd.Dataset:
     """(doc_id, n_tokens, n_distinct, ttr_ppm): type-token ratio quality
     signal. ttr is reported in integer parts-per-million (floor) so the

@@ -64,6 +64,8 @@ def test_pagerank_actor_hub_split_and_convergence(ray_session, tmp_path):
 @pytest.mark.parametrize("algo_maker,variant,col", [
     (lambda g: ConnectedComponents(), UNDIRECTED, "label"),
     (lambda g: ShortestPaths(source_vid=int(g.vid_of[0])), None, "dist"),
+    (lambda g: __import__("pregel_ray.algorithms.kcore",
+                          fromlist=["KCore"]).KCore(2), UNDIRECTED, "alive"),
 ])
 def test_vectorized_algos_actor_parity(ray_session, tmp_path, algo_maker, variant, col):
     tbl = fixtures.g_two_cliques_bridge()
