@@ -383,6 +383,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text"]
         )
 
+    def doc_stratified_sample(sf_dir):
+        # corpus rebalancing: downsample dominant English to 10%, keep
+        # 40% of every other language — deterministic per-stratum
+        # md5 thresholds, exact SQL oracle (CASE + md5_number_lower)
+        from pregel_ray.agg import stratified_hash_sample
+
+        docs = _read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+        return stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 100}, default_permille=400
+        ).select_columns(["doc_id", "lang", "text"])
+
     def customers_without_big_orders(sf_dir):
         # ANTI join (bucketed existence join, agg.bucketed_join): customers
         # with NO order above 300k — the NOT-EXISTS shape; the right side
@@ -517,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": lambda sf: quality_scores(_docs(sf)),
         "doc_pii_scrub": lambda sf: pii_scrub(_docs(sf)),
         "doc_sample_100pm": doc_sample,
+        "doc_stratified_sample": doc_stratified_sample,
         "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
@@ -598,6 +611,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_100pm": """
             SELECT doc_id, text FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 100""",
+        "doc_stratified_sample": """
+            SELECT doc_id, lang, text FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+                  CASE WHEN lang = 'en' THEN 100 ELSE 400 END""",
         "customers_without_big_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN

@@ -270,6 +270,41 @@ def distinct(ds: rd.Dataset, keys: list[str], num_buckets: int = 128) -> rd.Data
     return grouped_apply(ds, keys, _d, num_buckets)
 
 
+def stratified_hash_sample(
+    ds: rd.Dataset,
+    key: str,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    out_of: int = 1000,
+) -> rd.Dataset:
+    """Per-stratum deterministic content-hash sampling: row survives iff
+    md5-low64(str(key)) % out_of < rate(its stratum). The
+    corpus-rebalancing shape (downsample the dominant language, keep the
+    long tail) with `hash_sample`'s reproducibility contract — same rows
+    on any cluster size / run / block layout, and an exact SQL oracle
+    via md5_number_lower + CASE. Pure map: no shuffle."""
+    import hashlib
+
+    def _keep(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+                % out_of
+                for v in t[key].to_pylist()
+            ),
+            np.int64, t.num_rows,
+        )
+        strata = t[strata_col].to_numpy(zero_copy_only=False)
+        thr = np.fromiter(
+            (rates_permille.get(s, default_permille) for s in strata),
+            np.int64, t.num_rows,
+        )
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: rd.Dataset, key: str, permille: int, out_of: int = 1000
 ) -> rd.Dataset:
