@@ -82,6 +82,35 @@ def _pagerank_sql(iters: int) -> str:
     )
 
 
+def _ppr_sql(iters: int, sources: tuple[str, ...]) -> str:
+    """Unrolled personalized power iteration: teleport vector = uniform
+    over `sources` (CASE), dangling mass teleports there too — semantics
+    identical to algorithms/pagerank.py::PersonalizedPageRank."""
+    src_list = ", ".join(f"'{s}'" for s in sources)
+    ev = 1.0 / len(sources)
+    ctes = [f"""
+  tele AS MATERIALIZED (SELECT v.name,
+        CASE WHEN v.name IN ({src_list}) THEN {ev!r} ELSE 0.0 END AS ev
+        FROM v),
+  ppr0 AS MATERIALIZED (SELECT name, ev AS rank FROM tele)"""]
+    for k in range(1, iters + 1):
+        prev = f"ppr{k - 1}"
+        ctes.append(f"""
+  ppr{k} AS MATERIALIZED (
+    SELECT t.name,
+           0.15*t.ev + 0.85*(COALESCE(r.recv, 0) + dm.dm*t.ev) AS rank
+    FROM tele t
+    CROSS JOIN (SELECT COALESCE(SUM(p.rank),0) AS dm
+                FROM {prev} p JOIN dangling d ON p.name = d.name) dm
+    LEFT JOIN (SELECT en.dst_name AS nm, SUM(p.rank * en.p) AS recv
+               FROM en JOIN {prev} p ON p.name = en.src_name
+               GROUP BY en.dst_name) r ON r.nm = t.name)""")
+    return (
+        "WITH " + _graph_cte() + ", " + ",".join(ctes)
+        + f"\nSELECT name, ROUND(rank, 6) AS rank FROM ppr{iters}"
+    )
+
+
 def _sssp_sql(iters: int = 10, source: str = "tool-00") -> str:
     """Unrolled Bellman-Ford rounds (one round = one BSP superstep of
     algorithms/sssp.py); distances are integer-count sums → exact doubles."""
@@ -520,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": lambda sf: P.triangle_total_table(sf),
         "sssp_from_hub": lambda sf: P.sssp_from_hub(sf),
         "kcore5_members": lambda sf: P.kcore_members(sf, 5),
+        "ppr_from_tools": lambda sf: P.ppr_fixed(sf, ["tool-00", "tool-01"], 20),
         # -- training-data ops over documents/embeddings -------------------
         "doc_token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_regex_token_counts": lambda sf: regex_token_counts(_docs(sf)),
@@ -580,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_from_hub": _sssp_sql(10),
         "cc_labels": _cc_sql(),
         "kcore5_members": _kcore_sql(5, 8),
+        "ppr_from_tools": _ppr_sql(20, ("tool-00", "tool-01")),
         "cc_sizes": (
             "SELECT component, COUNT(*) AS size FROM (" + _cc_sql() + ") GROUP BY component"
         ),

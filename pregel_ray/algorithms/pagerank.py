@@ -81,3 +81,58 @@ class PageRank(Algorithm):
         if self.max_iters is not None:
             return superstep >= self.max_iters
         return metrics.m1 < self.tol
+
+
+class PersonalizedPageRank(PageRank):
+    """Topic-sensitive PageRank (Haveliwala 2002): the teleport vector is
+    uniform over a SOURCE SET instead of all vertices —
+
+        r_0       = e
+        r_s[v]    = (1-d)·e[v] + d·( Σ_{u→v} r_{s-1}[u]·w/W_out(u)
+                                     + DM_{s-1}·e[v] )
+        e[v]      = 1/|S| if v ∈ S else 0
+
+    (dangling mass teleports to the source set too — the standard PPR
+    power iteration). Everything else — scatter, combining, DM-via-m2,
+    L1 stop — is inherited from PageRank; e is recomputed per partition
+    with one sorted-array isin (never shipped through state)."""
+
+    name = "ppr"
+
+    def __init__(self, source_vids, damping: float = 0.85, tol: float = 1e-6,
+                 max_iters: int | None = None):
+        super().__init__(damping, tol, max_iters)
+        self.source_vids = np.asarray(sorted(source_vids), np.int64)
+        assert len(self.source_vids) > 0
+
+    def _e_local(self, part: int, n_local: int, ctx: dict) -> np.ndarray:
+        P = ctx["P"]
+        vids = np.arange(n_local, dtype=np.int64) * P + part
+        e = np.zeros(n_local)
+        e[np.isin(vids, self.source_vids)] = 1.0 / len(self.source_vids)
+        return e
+
+    def init(self, part, n_local, pmeta, ctx):
+        rank = self._e_local(part, n_local, ctx)
+        dangling = float(rank[pmeta["out_deg"] == 0].sum()) if n_local else 0.0
+        return {"rank": rank}, {"active": n_local, "m2": dangling}
+
+    def apply(self, part, pmeta, state, msgs, ctx):
+        rank = state["rank"]
+        n = len(rank)
+        P, d = ctx["P"], self.damping
+        recv = np.zeros(n)
+        if msgs is not None and len(msgs["dst"]):
+            dst_u, m_u = self.combine_by_dst(msgs["dst"], msgs["m"])
+            recv[dst_u // P] = m_u
+        e = self._e_local(part, n, ctx)
+        dm_prev = ctx["prev"]["m2"]
+        new_rank = (1.0 - d) * e + d * (recv + dm_prev * e)
+        l1 = float(np.abs(new_rank - rank).sum())
+        dangling = float(new_rank[pmeta["out_deg"] == 0].sum()) if n else 0.0
+        nmsg = int(len(msgs["dst"])) if msgs else 0
+        return (
+            {"rank": new_rank},
+            {"active": n, "nmsg": nmsg, "m1": l1, "m2": dangling},
+            None,
+        )

@@ -214,6 +214,32 @@ def pagerank_fixed(sf_dir: str, iters: int = PAGERANK_FIXED_ITERS) -> rd.Dataset
     return res.vertex_table().map_batches(_name, batch_format="pyarrow")
 
 
+def ppr_fixed(sf_dir: str, source_names: list[str], iters: int = 20) -> rd.Dataset:
+    """(name, rank) — personalized PageRank from `source_names`, exactly
+    `iters` iterations, round 6 (unrolled SQL oracle with a CASE teleport
+    vector)."""
+    from .algorithms.pagerank import PersonalizedPageRank
+
+    ss, p, cfg = shardset(sf_dir, DIRECTED)
+    lut_ref = _name_lut_ref(p, cfg)
+    src_vids = [ray.get(_vid_of_name.remote(lut_ref, s)) for s in source_names]
+    res = Engine(ss, cfg).run(
+        PersonalizedPageRank(src_vids, damping=PAGERANK_DAMPING,
+                             max_iters=iters)
+    )
+
+    def _name(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        return pa.table(
+            {
+                "name": pa.array(_names_of(lut, t["vid"].to_numpy(zero_copy_only=False))),
+                "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+
+
 def pagerank_converged(sf_dir: str, tol: float = PAGERANK_TOL):
     """Full L1<tol convergence; returns (RunResult, named vertex Dataset)."""
     res, p, cfg = _pagerank_result(sf_dir, None, tol)

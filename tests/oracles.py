@@ -115,3 +115,25 @@ def sssp_oracle(src, dst, w, n, source, iters=None):
             break
         dist = new
     return dist
+
+
+def ppr_oracle(src, dst, w, n, sources, damping=0.85, fixed_iters=20):
+    """Personalized PageRank power iteration (teleport + dangling mass to
+    the uniform source-set vector) — mirrors algorithms/pagerank.py::
+    PersonalizedPageRank in straight NumPy."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    w = np.asarray(w, np.float64)
+    out_w = np.zeros(n)
+    np.add.at(out_w, src, w)
+    dangling = out_w == 0
+    w_norm = w / out_w[src]
+    e = np.zeros(n)
+    e[np.asarray(sources)] = 1.0 / len(sources)
+    r = e.copy()
+    for _ in range(fixed_iters):
+        recv = np.zeros(n)
+        np.add.at(recv, dst, r[src] * w_norm)
+        dm = r[dangling].sum()
+        r = (1 - damping) * e + damping * (recv + dm * e)
+    return r

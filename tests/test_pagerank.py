@@ -124,3 +124,31 @@ def test_pagerank_transcript_graph(ray_session, tmp_path, tiny_transcripts):
     got = np.zeros(len(vids))
     got[[pos[v] for v in vt["vid"]]] = vt["rank"]
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_personalized_pagerank_micrographs(ray_session, tmp_path):
+    """PPR trajectory parity vs the straight-NumPy oracle (atol 1e-9),
+    sources chosen to include a dangling-adjacent vertex."""
+    from pregel_ray.algorithms.pagerank import PersonalizedPageRank
+    from pregel_ray.config import EngineConfig
+    from pregel_ray.engine import Engine
+    from pregel_ray.testing import MicroGraph
+
+    from tests.oracles import ppr_oracle
+
+    for maker, n in [(fixtures.g_line4, 4), (fixtures.g_hub, None)]:
+        tbl = maker()
+        e = tbl.to_pandas()
+        nv = n or int(max(e["src"].max(), e["dst"].max())) + 1
+        cfg = EngineConfig(num_parts=4)
+        g = MicroGraph(tbl, str(tmp_path / f"s{nv}"), cfg, n_vertices=nv)
+        src_ids = [0, min(2, nv - 1)]
+        src_vids = [int(g.vid_of[i]) for i in src_ids]
+        res = Engine(g.shards, cfg).run(
+            PersonalizedPageRank(src_vids, max_iters=12)
+        )
+        got = g.result_by_id(res.vertex_table().to_pandas(), "rank")
+        want = ppr_oracle(e["src"], e["dst"], e["w"], nv, src_ids,
+                          fixed_iters=12)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+        assert abs(got.sum() - 1.0) < 1e-9  # PPR stays a distribution
