@@ -184,3 +184,36 @@ def test_hash_sample_deterministic(ray_session):
         rd.from_pandas(df).repartition(7), "id", 250
     ).to_pandas()
     assert sorted(got2["id"]) == sorted(got["id"])
+
+
+def test_stratified_hash_sample_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from pregel_ray.agg import stratified_hash_sample
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(2000),
+            "grp": np.array(["a", "b", "c"])[rng.integers(0, 3, 2000)],
+        }
+    )
+    rates = {"a": 100, "b": 500}  # c falls to default_permille=0
+    got = stratified_hash_sample(
+        rd.from_pandas(df), "id", "grp", rates
+    ).to_pandas()
+
+    def h(v):
+        return int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[8:], "little") % 1000
+
+    keep = df[df.apply(lambda r: h(r["id"]) < rates.get(r["grp"], 0), axis=1)]
+    assert sorted(got["id"]) == sorted(keep["id"])
+    assert set(got["grp"]) <= {"a", "b"}  # default stratum fully dropped
+    # layout-independent
+    got2 = stratified_hash_sample(
+        rd.from_pandas(df).repartition(9), "id", "grp", rates
+    ).to_pandas()
+    assert sorted(got2["id"]) == sorted(got["id"])
