@@ -243,6 +243,30 @@ def _lpa_sql(iters: int = 20) -> str:
     )
 
 
+def _maxprop_sql(rounds: int = 10) -> str:
+    """Unrolled directed max propagation from name-rank initial values —
+    the reference's example algorithm. Monotone: rounds past the fixpoint
+    are identity (engine converges in 6 supersteps at the driver scale;
+    10 is the margin)."""
+    ctes = ["""
+  rk AS MATERIALIZED (SELECT name,
+        ROW_NUMBER() OVER (ORDER BY name) - 1 AS val FROM v),
+  mv0 AS MATERIALIZED (SELECT name, val FROM rk)"""]
+    for k in range(1, rounds + 1):
+        prev = f"mv{k - 1}"
+        ctes.append(f"""
+  mv{k} AS MATERIALIZED (
+    SELECT r.name, GREATEST(r.val, COALESCE(m.mx, r.val)) AS val
+    FROM {prev} r
+    LEFT JOIN (SELECT e.dst_name AS name, MAX(p.val) AS mx
+               FROM e JOIN {prev} p ON p.name = e.src_name
+               GROUP BY e.dst_name) m ON m.name = r.name)""")
+    return (
+        "WITH " + _graph_cte() + ", " + ",".join(ctes)
+        + f"\nSELECT name, CAST(val AS BIGINT) AS max_seen FROM mv{rounds}"
+    )
+
+
 def _kcore_sql(k: int = 5, rounds: int = 8) -> str:
     """Unrolled synchronous peeling (one CTE per peel == one BSP
     superstep of algorithms/kcore.py). Peeling is monotone, so rounds
@@ -550,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_from_hub": lambda sf: P.sssp_from_hub(sf),
         "kcore5_members": lambda sf: P.kcore_members(sf, 5),
         "ppr_from_tools": lambda sf: P.ppr_fixed(sf, ["tool-00", "tool-01"], 20),
+        "maxprop_ranks": lambda sf: P.maxprop_ranks(sf),
         # -- training-data ops over documents/embeddings -------------------
         "doc_token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_regex_token_counts": lambda sf: regex_token_counts(_docs(sf)),
@@ -611,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels": _cc_sql(),
         "kcore5_members": _kcore_sql(5, 8),
         "ppr_from_tools": _ppr_sql(20, ("tool-00", "tool-01")),
+        "maxprop_ranks": _maxprop_sql(10),
         "cc_sizes": (
             "SELECT component, COUNT(*) AS size FROM (" + _cc_sql() + ") GROUP BY component"
         ),

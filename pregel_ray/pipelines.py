@@ -374,6 +374,59 @@ def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) ->
     return res.vertex_table().map_batches(_name, batch_format="pyarrow")
 
 
+def maxprop_ranks(sf_dir: str) -> rd.Dataset:
+    """(name, max_seen) — the REFERENCE's own example algorithm
+    (max-value propagation with combiner max and vote-to-halt,
+    /root/reference/example/test-worker.lua:25-43, common.lua:23-39) run
+    through the PER-VERTEX compute API on the directed transcript graph,
+    values initialized to global name ranks. Converges to the max rank
+    over each vertex's ancestors-and-self; the SQL oracle unrolls the
+    same monotone relaxation (generous round count = identity past the
+    fixpoint, same trick as k-core)."""
+    from .algorithms.compute_api import ComputeAlgorithm
+
+    ss, p, cfg = shardset(sf_dir, DIRECTED)
+    lut_ref = _name_lut_ref(p, cfg)
+
+    def compute(v):
+        if v.get_superstep() == 1:
+            for _, dst, _ in v.pairs_edges():
+                v.send_message(dst, v.get_value())
+        else:
+            changed = False
+            for m in v.pairs_messages():
+                if m > v.get_value():
+                    v.set_value(m)
+                    changed = True
+            if changed:
+                for _, dst, _ in v.pairs_edges():
+                    v.send_message(dst, v.get_value())
+        v.vote_halt(True)
+
+    def init_val(vid, _ref=lut_ref):
+        lut = ray.get(_ref)  # node-cached plasma read
+        return int(lut["ranks"][np.searchsorted(lut["vids"], vid)])
+
+    algo = ComputeAlgorithm(compute=compute, initial_value=init_val,
+                            combiner=max)
+    res = Engine(ss, cfg).run(algo)
+    vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts)
+
+    def _name(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        vids = t["vid"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "name": pa.array(_names_of(lut, vids)),
+                "max_seen": pa.array(
+                    np.asarray(t["value"].to_pylist(), np.int64)
+                ),
+            }
+        )
+
+    return vt.map_batches(_name, batch_format="pyarrow")
+
+
 def kcore_members(sf_dir: str, k: int = 5) -> rd.Dataset:
     """(name, core_deg) — vertices of the k-core of the undirected
     transcript graph, with their degree WITHIN the core (≥ k). One BSP
