@@ -380,3 +380,56 @@ def test_error_clicks_1h_range_vs_duckdb(ray_session):
     ).df()
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["n_clicks_1h"].tolist() == want["n_clicks_1h"].tolist()
+
+
+def test_asof_join_nearest_and_tolerance(ray_session):
+    """Random int-keyed data through direction='nearest' and a backward
+    tolerance bound, vs global pandas merge_asof (the untested corners of
+    the direction/tolerance matrix)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import asof_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 800, 600
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(nl),
+            "t": rng.integers(0, 10_000, nl),
+            "g": rng.integers(0, 25, nl),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "t": rng.integers(0, 10_000, nr),
+            "g": rng.integers(0, 25, nr),
+            "rv": rng.integers(0, 1_000_000, nr),
+        }
+    )
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+
+    for direction, tol in [("nearest", None), ("backward", 100)]:
+        got = (
+            asof_join(lds, rds, on="t", by="g",
+                      right_cols={"t": "rt", "rv": "rv"},
+                      direction=direction, tolerance=tol, num_buckets=8)
+            .to_pandas()
+            .sort_values("lid", ignore_index=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort").rename(
+                columns={"t": "rt"}),
+            left_on="t", right_on="rt", by="g",
+            direction=direction, tolerance=tol,
+        )
+        want = want[want["rt"].notna()].sort_values("lid", ignore_index=True)
+        assert got["rv"].dtype == right["rv"].dtype, (direction, got.dtypes)
+        pd.testing.assert_frame_equal(
+            got[["lid", "t", "g", "rt", "rv"]],
+            want[["lid", "t", "g", "rt", "rv"]],
+            check_dtype=False,
+        )
