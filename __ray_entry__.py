@@ -243,6 +243,43 @@ def _lpa_sql(iters: int = 20) -> str:
     )
 
 
+def _hits_sql(iters: int = 10) -> str:
+    """Unrolled simultaneous HITS (algorithms/hits.py): both vectors
+    update from the PREVIOUS (h, a) with inputs L2-normalized via the
+    previous norms; final scores normalized per role, round 6."""
+    ctes = ["""
+  h0 AS MATERIALIZED (SELECT name, 1.0 AS s FROM v),
+  a0 AS MATERIALIZED (SELECT name, 1.0 AS s FROM v)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(f"""
+  hn{p} AS MATERIALIZED (SELECT SQRT(SUM(s*s)) AS nrm FROM h{p}),
+  an{p} AS MATERIALIZED (SELECT SQRT(SUM(s*s)) AS nrm FROM a{p}),
+  a{k} AS MATERIALIZED (
+    SELECT v.name, COALESCE(x.t, 0) / hn.nrm AS s
+    FROM v CROSS JOIN hn{p} hn
+    LEFT JOIN (SELECT e.dst_name AS nm, SUM(e.w * p.s) AS t
+               FROM e JOIN h{p} p ON p.name = e.src_name
+               GROUP BY e.dst_name) x ON x.nm = v.name),
+  h{k} AS MATERIALIZED (
+    SELECT v.name, COALESCE(x.t, 0) / an.nrm AS s
+    FROM v CROSS JOIN an{p} an
+    LEFT JOIN (SELECT e.src_name AS nm, SUM(e.w * p.s) AS t
+               FROM e JOIN a{p} p ON p.name = e.dst_name
+               GROUP BY e.src_name) x ON x.nm = v.name)""")
+    return (
+        "WITH " + _graph_cte() + ", " + ",".join(ctes)
+        + f""",
+  hnf AS (SELECT SQRT(SUM(s*s)) AS nrm FROM h{iters}),
+  anf AS (SELECT SQRT(SUM(s*s)) AS nrm FROM a{iters})
+  SELECT name, 'hub' AS role, ROUND(s / hnf.nrm, 6) AS score
+  FROM h{iters} CROSS JOIN hnf
+  UNION ALL
+  SELECT name, 'authority' AS role, ROUND(s / anf.nrm, 6) AS score
+  FROM a{iters} CROSS JOIN anf"""
+    )
+
+
 def _maxprop_sql(rounds: int = 10) -> str:
     """Unrolled directed max propagation from name-rank initial values —
     the reference's example algorithm. Monotone: rounds past the fixpoint
@@ -575,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore5_members": lambda sf: P.kcore_members(sf, 5),
         "ppr_from_tools": lambda sf: P.ppr_fixed(sf, ["tool-00", "tool-01"], 20),
         "maxprop_ranks": lambda sf: P.maxprop_ranks(sf),
+        "hits_scores": lambda sf: P.hits_scores(sf, 10),
         # -- training-data ops over documents/embeddings -------------------
         "doc_token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_regex_token_counts": lambda sf: regex_token_counts(_docs(sf)),
@@ -637,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore5_members": _kcore_sql(5, 8),
         "ppr_from_tools": _ppr_sql(20, ("tool-00", "tool-01")),
         "maxprop_ranks": _maxprop_sql(10),
+        "hits_scores": _hits_sql(10),
         "cc_sizes": (
             "SELECT component, COUNT(*) AS size FROM (" + _cc_sql() + ") GROUP BY component"
         ),

@@ -374,6 +374,93 @@ def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) ->
     return res.vertex_table().map_batches(_name, batch_format="pyarrow")
 
 
+def hits_shards(sf_dir: str):
+    """Doubled-graph shard store for HITS (algorithms/hits.py): each
+    original vid l·P+q becomes a hub copy 2·vid−vid%P and an authority
+    copy +P (both partition-aligned, locals interleaved h/a), and each
+    edge u→v becomes the arc pair h(u)→a(v), a(v)→h(u). Built once and
+    cached next to the graph (build_shards manifest short-circuit)."""
+    p, cfg, _ = build_graph(sf_dir)
+    from .graph import DIRECTED as _DIR
+    from .graph import build_shards
+
+    P = cfg.num_parts
+    hits_dir = os.path.join(p["graph"], f"shards_hits_p{P}")
+    edges = _read_parquet(os.path.join(p["graph"], "edges")).map_batches(
+        hits_double_edges(P), batch_format="pyarrow"
+    )
+    verts = _read_parquet(
+        os.path.join(p["graph"], "vertices"), columns=["vid"]
+    ).map_batches(hits_double_verts(P), batch_format="pyarrow")
+    return build_shards(edges, verts, hits_dir, cfg, variant=_DIR), p, cfg
+
+
+def hits_double_edges(P: int):
+    """map_batches fn: (src,dst,w) vid-space edges → the HITS doubled-graph
+    arc pairs (see hits_shards)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        h_src = 2 * src - src % P
+        a_dst = 2 * dst - dst % P + P
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([h_src, a_dst])),
+                "dst": pa.array(np.concatenate([a_dst, h_src])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    return _f
+
+
+def hits_double_verts(P: int):
+    def _f(t: pa.Table) -> pa.Table:
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        h = 2 * vid - vid % P
+        vv = np.concatenate([h, h + P])
+        return pa.table(
+            {"vid": pa.array(vv), "part": pa.array((vv % P).astype(np.int32))}
+        )
+
+    return _f
+
+
+def hits_scores(sf_dir: str, iters: int = 10) -> rd.Dataset:
+    """(name, role∈{hub,authority}, score) — `iters` simultaneous HITS
+    updates on the doubled graph, final scores L2-normalized per role,
+    round 6 (matched by the unrolled SQL oracle)."""
+    from .algorithms.hits import HITS
+
+    ss, p, cfg = hits_shards(sf_dir)
+    P = cfg.num_parts
+    res = Engine(ss, cfg).run(HITS(max_iters=iters))
+    last = res.history[-1]
+    inv_h = 1.0 / np.sqrt(last.m1) if last.m1 > 0 else 0.0
+    inv_a = 1.0 / np.sqrt(last.m2) if last.m2 > 0 else 0.0
+    lut_ref = _name_lut_ref(p, cfg)
+
+    def _name(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        local = vid // P
+        hub = (local % 2) == 0
+        orig = (local // 2) * P + vid % P
+        val = t["value"].to_numpy(zero_copy_only=False)
+        score = np.round(val * np.where(hub, inv_h, inv_a), 6)
+        return pa.table(
+            {
+                "name": pa.array(_names_of(lut, orig)),
+                "role": pa.array(np.where(hub, "hub", "authority")),
+                "score": pa.array(score),
+            }
+        )
+
+    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+
+
 def maxprop_ranks(sf_dir: str) -> rd.Dataset:
     """(name, max_seen) — the REFERENCE's own example algorithm
     (max-value propagation with combiner max and vote-to-halt,
