@@ -29,6 +29,20 @@ import ray.data as rd
 
 _FNV = np.uint64(1099511628211)
 
+# Arrow int → pandas NULLABLE int dtype (backed by int64 + mask, never
+# float64): used wherever a tagged union's nulls would otherwise widen
+# int carriers through float64 and corrupt values above 2^53.
+_NULLABLE_INT = {
+    pa.int8(): pd.Int8Dtype(),
+    pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(),
+    pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(),
+    pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(),
+    pa.uint64(): pd.UInt64Dtype(),
+}
+
 
 def _hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
     from .edges import stable_hash
@@ -117,11 +131,12 @@ def bucketed_join(
 
     Key columns are never null in the union (each row carries its own
     key), so int64 keys survive the pandas conversion exactly. Non-key
-    carriers widen to float64 on the null side; every bucket converts
-    back through ONE explicit Arrow output schema (left fields + right
-    value fields), so int columns round-trip losslessly (NaN → null)
-    and the schema is identical across buckets. Output columns: left's,
-    then right's value columns (``rsuffix`` applied on name collisions).
+    carriers stay exact: buckets convert to pandas with NULLABLE Int
+    dtypes (``_NULLABLE_INT`` types_mapper — no float64 round-trip, so
+    64-bit hash/fingerprint columns above 2^53 survive), and every
+    bucket emits through ONE explicit Arrow output schema (left fields +
+    right value fields), identical across buckets. Output columns:
+    left's, then right's value columns (``rsuffix`` on name collisions).
 
     Scale shape: one shuffle of each side by key hash; a bucket costs
     its row count (both sides of any key land in one bucket — skewed
@@ -207,15 +222,19 @@ def bucketed_join(
     rt = right.map_batches(_tag_right, batch_format="pyarrow")
     r_out = [out_r[c] for c in rvals]
     # Explicit output schema: stops a bucket whose right side matched
-    # nothing (all-NaN object columns) from inferring `null` type and
-    # breaking cross-bucket schema unification. float64-with-NaN int
-    # carriers cast back losslessly (NaN → null) under this schema.
+    # nothing (all-null columns) from inferring `null` type and
+    # breaking cross-bucket schema unification.
     out_schema = pa.schema(
         [lschema.field(c) for c in lcols]
         + [pa.field(out_r[c], rschema.field(c).type) for c in rvals]
     )
 
-    def _merge(g: pd.DataFrame) -> pa.Table:
+    def _merge(t: pa.Table) -> pa.Table:
+        # Nullable Int dtypes (not float64-with-NaN): the tagged union's
+        # nulls would otherwise widen int carriers through float64 and
+        # silently corrupt values above 2^53 (64-bit hash / fingerprint
+        # columns) on the cast back to out_schema.
+        g = t.to_pandas(types_mapper=_NULLABLE_INT.get)
         l = g[g["__side"] == 0][lcols]
         if existence:
             rk = g[g["__side"] == 1][left_on]
@@ -236,7 +255,7 @@ def bucketed_join(
     return (
         lt.union(rt)
         .groupby("__bk")
-        .map_groups(_merge, batch_format="pandas")
+        .map_groups(_merge, batch_format="pyarrow")
     )
 
 

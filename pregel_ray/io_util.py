@@ -38,6 +38,18 @@ def _stripped_schema(paths) -> pa.Schema | None:
             files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
             if not files:
                 return None
+            # Heterogeneity probe: the forced schema assumes every file in
+            # the directory agrees. Checking first vs last footer (2 reads,
+            # not N — evolution usually changes the newest/oldest file) and
+            # falling back to Ray's own unify when they disagree keeps the
+            # fast path for the common homogeneous layout without silently
+            # casting an evolved directory.
+            if len(files) > 1:
+                first = pq.read_schema(os.path.join(p, files[0])).remove_metadata()
+                last = pq.read_schema(os.path.join(p, files[-1])).remove_metadata()
+                if not first.equals(last):
+                    return None
+                return first
             p = os.path.join(p, files[0])
         return pq.read_schema(p).remove_metadata()
     except Exception:

@@ -669,6 +669,10 @@ def _nation_region_lut(sf_dir: str):
 def _lookup_names(lut, nationkeys: np.ndarray) -> tuple[pa.Array, pa.Array]:
     keys, n_names, r_names = lut
     idx = np.searchsorted(keys, nationkeys)
+    idx = np.clip(idx, 0, len(keys) - 1)
+    if not np.array_equal(keys[idx], nationkeys):
+        missing = np.unique(nationkeys[keys[idx] != nationkeys])
+        raise KeyError(f"nationkeys not in nation table: {missing[:10].tolist()}")
     return pa.array(n_names[idx]), pa.array(r_names[idx])
 
 

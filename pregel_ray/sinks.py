@@ -91,6 +91,15 @@ def write_partitioned(
         .map_groups(_commit, batch_format="pandas")
         .to_pandas()  # ≤ num_partitions rows
     )
+    if "partition" not in manifest.columns:
+        # nothing survived the committed-partition filter (rerun after a
+        # full commit, or empty input): the group output is schema-less
+        manifest = pd.DataFrame(
+            {
+                "partition": pd.Series([], dtype=np.int64),
+                "rows": pd.Series([], dtype=np.int64),
+            }
+        )
 
     # commit empty partitions too, so `_SUCCESS` at the top level is
     # unambiguous ("all partitions final"), and readers needn't guess
@@ -103,7 +112,9 @@ def write_partitioned(
                 f.write("ok\n")
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write("ok\n")
-    full = pd.DataFrame({"partition": sorted(written)})
+    # manifest covers every partition: freshly written rows, 0 for
+    # skipped-committed and empty ones — len(manifest) == num_partitions
+    full = pd.DataFrame({"partition": np.arange(num_partitions, dtype=np.int64)})
     return full.merge(manifest, on="partition", how="left").fillna({"rows": 0})
 
 
@@ -118,6 +129,10 @@ def read_partitioned(out_dir: str) -> rd.Dataset:
         and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
         and os.path.exists(os.path.join(out_dir, d, "data.parquet"))
     ]
+    if not paths:
+        # no committed partitions yet (job inspected mid-write): an
+        # explicit empty dataset, not read_parquet([]) (which raises)
+        return rd.from_items([])
     # partitioning=None: the `part=NNNNN` dir names are a commit-unit
     # layout, not Hive partition values — don't infer a `part` column
     return read_parquet(paths, partitioning=None)

@@ -163,6 +163,32 @@ def test_bucketed_join_semi_anti_vs_pandas(ray_session):
         pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict())), how
 
 
+def test_bucketed_join_int64_above_2_53_exact(ray_session):
+    """Non-key int64 carriers above 2^53 (64-bit hash/fingerprint ids)
+    must round-trip exactly — a float64 detour would corrupt them."""
+    import ray.data as rd
+
+    from pregel_ray.agg import bucketed_join
+
+    import pyarrow as pa
+
+    big = [2**63 - 1, 2**53 + 1, 2**60 + 12345, -(2**62) - 7]
+    l = pd.DataFrame({"k": [1, 2, 3, 4, 5], "lv": [10, 20, 30, 40, 50]})
+    r = pd.DataFrame({"k": [1, 2, 3, 4], "fp": big})
+    for how in ("inner", "left"):
+        out = bucketed_join(rd.from_pandas(l), rd.from_pandas(r), ["k"],
+                            how=how, num_buckets=4)
+        # assert on the ARROW output (Dataset.to_pandas would itself widen
+        # int64-with-null to float64 — exactly the detour under test)
+        tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+        tbl = tbl.sort_by("k")
+        assert tbl.schema.field("fp").type == pa.int64(), how
+        fp = tbl["fp"]
+        assert fp.drop_null().to_pylist() == big, how
+        if how == "left":
+            assert fp.null_count == 1 and fp[4].as_py() is None
+
+
 def test_hash_sample_deterministic(ray_session):
     import hashlib
 

@@ -37,6 +37,42 @@ def test_write_read_roundtrip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(back, want)
 
 
+def test_rerun_after_full_commit(ray_session, tmp_path):
+    """Re-running after every partition committed (crash between the last
+    partition marker and the top-level _SUCCESS) must not crash on the
+    schema-less empty manifest, and must restore the top-level marker."""
+    from pregel_ray.sinks import read_partitioned, write_partitioned
+
+    t = _data(500)
+    out = str(tmp_path / "out")
+    write_partitioned(rd.from_arrow(t), out, by=["k"], num_partitions=8)
+    os.remove(os.path.join(out, "_SUCCESS"))  # the advertised crash point
+
+    manifest = write_partitioned(rd.from_arrow(t), out, by=["k"], num_partitions=8)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert len(manifest) == 8 and manifest["rows"].sum() == 0  # all skipped
+
+    back = read_partitioned(out).to_pandas().sort_values(["k", "v"], ignore_index=True)
+    want = t.to_pandas().sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(back, want)
+
+
+def test_empty_input_and_uncommitted_read(ray_session, tmp_path):
+    from pregel_ray.sinks import read_partitioned, write_partitioned
+
+    out = str(tmp_path / "empty")
+    manifest = write_partitioned(
+        rd.from_arrow(_data(0)), out, by=["k"], num_partitions=4
+    )
+    assert len(manifest) == 4 and manifest["rows"].sum() == 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # a dir with zero committed partitions reads back as an empty dataset
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    assert read_partitioned(bare).count() == 0
+
+
 def test_resume_skips_committed_partitions(ray_session, tmp_path):
     """Simulated crash: wipe two partitions' markers (one fully, one
     marker-only) → the rerun rewrites exactly those, leaves the rest
