@@ -36,7 +36,7 @@ def _sum_by_pairs(dst: np.ndarray, lab: np.ndarray, w: np.ndarray):
 
 class LabelPropagation(Algorithm):
     """``init_labels_ref``: optional ObjectRef to a dict carrying
-    ``ranks_by_part[part] -> int64[n_local]`` (pipelines._name_lut_task).
+    ``ranks_by_part[part] -> int64[n_local]`` (namemap._name_lut_task).
     When given, labels start as global NAME-RANKS instead of vids, making
     the tie→min-label rule equal tie→min-name — the property the unrolled
     DuckDB LPA oracle needs. Default (None) keeps vid labels (the
@@ -46,9 +46,14 @@ class LabelPropagation(Algorithm):
     directed = False
     supports_chaining = True  # metrics/agg-only cross-step globals
 
-    def __init__(self, max_iters: int = 20, init_labels_ref=None):
+    def __init__(self, max_iters: int = 20, init_labels_ref=None,
+                 init_labels_path: str | None = None):
         self.max_iters = max_iters
         self.init_labels_ref = init_labels_ref
+        # partition-sliced name_ranks parquet (namemap.build_name_ranks):
+        # the above-broadcast-threshold source — each partition's init
+        # reads only its own slice, nothing |V|-bounded in one object
+        self.init_labels_path = init_labels_path
 
     def init(self, part, n_local, pmeta, ctx):
         P = ctx["P"]
@@ -56,6 +61,11 @@ class LabelPropagation(Algorithm):
             import ray
 
             labels = ray.get(self.init_labels_ref)["ranks_by_part"][part].copy()
+            assert len(labels) == n_local
+        elif self.init_labels_path is not None:
+            from ..namemap import _part_ranks
+
+            labels = _part_ranks(self.init_labels_path, part, P).copy()
             assert len(labels) == n_local
         else:
             labels = np.arange(n_local, dtype=np.int64) * P + part

@@ -9,18 +9,17 @@ layouts all the way down).
 Result schemas use stable, named columns that match the DuckDB oracle
 SQL in __ray_entry__ exactly (driver hash-compare requirement).
 
-vid↔name mapping: one remote task builds sorted-vid / sorted-name arrays
-(plus name-rank arrays) from the vertices parquet — the arrays live in
-plasma (the driver only holds the ObjectRef) and every map_batches does
-a vectorized ``np.searchsorted`` / fancy-index lookup, never a Python
-dict loop. Above ``EngineConfig.broadcast_vertex_threshold`` vertices the
-same mapping is a ``Dataset.join`` (see edges.encode_edges for the
-partition-count guard); the broadcast is |V|-bounded like the reference's
-per-worker id space (/root/reference/pregel/mpool.lua:31-42).
+vid↔name mapping: ``namemap.NameMap``, gated on
+``EngineConfig.broadcast_vertex_threshold`` — below it a plasma LUT +
+vectorized searchsorted per batch; above it bucketed map-side joins and
+a partition-sliced distributed name-rank table. Nothing |V|-bounded ever
+lands in one object on the fallback path (the broadcast path mirrors the
+reference's per-worker id space, /root/reference/pregel/mpool.lua:31-42).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -36,6 +35,7 @@ from .engine import Engine
 from .fixtures import transcripts_path
 from .graph import DIRECTED, UNDIRECTED, build_shards
 from .io_util import read_parquet as _read_parquet
+from .namemap import NameMap
 
 PAGERANK_DAMPING = 0.85
 PAGERANK_TOL = 1e-6
@@ -45,7 +45,14 @@ LPA_FIXED_ITERS = 20  # unrolled-SQL round count (early-stop is a fixed point)
 
 def default_cfg() -> EngineConfig:
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return EngineConfig(num_parts=max(16, 2 * cpus), num_buckets=max(8, cpus))
+    cfg = EngineConfig(num_parts=max(16, 2 * cpus), num_buckets=max(8, cpus))
+    # Evidence knob (BENCH/BASELINE.md "LUT gate"): force the
+    # above-threshold distributed path at any scale, e.g.
+    # PREGEL_BROADCAST_VERTEX_THRESHOLD=0 python tests/gate_check.py
+    env = os.environ.get("PREGEL_BROADCAST_VERTEX_THRESHOLD")
+    if env is not None:
+        cfg.broadcast_vertex_threshold = int(env)
+    return cfg
 
 
 def graph_paths(sf_dir: str) -> dict:
@@ -79,80 +86,14 @@ def shardset(sf_dir: str, variant: str = DIRECTED, cfg: EngineConfig | None = No
 
 
 # ---------------------------------------------------------------------------
-# vid↔name lookup (plasma-resident, vectorized)
+# vid↔name lookup (namemap.NameMap — broadcast LUT or bucketed-join fallback)
 # ---------------------------------------------------------------------------
 
 
-@ray.remote
-def _name_lut_task(vertices_dir: str, P: int) -> dict:
-    """Build the lookup arrays in a remote task — they stay in plasma.
-
-    vids/names: aligned, sorted by vid (searchsorted key).
-    ranks: aligned with vids — global rank of the vertex's name in
-        lexicographic name order (dense 0..n-1; used as LPA labels so the
-        engine's min-label tie-break equals min-NAME, which SQL can mirror).
-    names_sorted: names in rank order (rank → name decode).
-    ranks_by_part[p]: rank per local index (vid // P) for partition p.
-    """
-    import pyarrow.dataset as pds
-
-    t = pds.dataset(vertices_dir, format="parquet").to_table(columns=["vid", "name"])
-    vids = t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    names = np.asarray(t["name"].to_pylist(), dtype=str)
-    order = np.argsort(vids, kind="stable")
-    vids, names = vids[order], names[order]
-    name_order = np.argsort(names, kind="stable")
-    ranks = np.empty(len(vids), np.int64)
-    ranks[name_order] = np.arange(len(vids), dtype=np.int64)
-    vids_by_rank = vids[name_order]
-    parts = (vids % P).astype(np.int64)
-    lis = vids // P
-    ranks_by_part = {}
-    for p in np.unique(parts):
-        m = parts == p
-        arr = np.empty(int(m.sum()), np.int64)
-        arr[lis[m]] = ranks[m]
-        ranks_by_part[int(p)] = arr
-    return {
-        "vids": vids,
-        "names": names,
-        "ranks": ranks,
-        "names_sorted": names[name_order],
-        "vids_by_rank": vids_by_rank,
-        "ranks_by_part": ranks_by_part,
-    }
-
-
-def _name_lut_ref(p, cfg) -> "ray.ObjectRef":
-    return _name_lut_task.remote(os.path.join(p["graph"], "vertices"), cfg.num_parts)
-
-
-def _names_of(lut: dict, vid_arr: np.ndarray) -> np.ndarray:
-    return lut["names"][np.searchsorted(lut["vids"], vid_arr)]
-
-
-def _rename_vids(lut_ref, spec: dict[str, str], keep: list[str] = ()):
-    """map_batches fn factory: for each (out_col ← vid_col) in spec, add the
-    name column; pass `keep` columns through unchanged. Fully vectorized."""
-
-    def _fn(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)  # zero-copy plasma read, node-cached
-        cols = {}
-        for out, src in spec.items():
-            cols[out] = pa.array(
-                _names_of(lut, t[src].to_numpy(zero_copy_only=False))
-            )
-        for k in keep:
-            cols[k] = t[k]
-        return pa.table(cols)
-
-    return _fn
-
-
-@ray.remote
-def _vid_of_name(lut_ref_inner: dict, name: str) -> int:
-    i = int(np.searchsorted(lut_ref_inner["names_sorted"], name))
-    return int(lut_ref_inner["vids_by_rank"][i])
+def _namemap(p, cfg) -> NameMap:
+    with open(os.path.join(p["graph"], "meta.json")) as f:
+        n_vertices = json.load(f)["n_vertices"]
+    return NameMap(p["graph"], cfg, n_vertices)
 
 
 # ---------------------------------------------------------------------------
@@ -163,10 +104,11 @@ def _vid_of_name(lut_ref_inner: dict, name: str) -> int:
 def edges_named(sf_dir: str) -> rd.Dataset:
     """(src_name, dst_name, w) — the materialized edge table in name space."""
     p, cfg, _ = build_graph(sf_dir)
-    lut_ref = _name_lut_ref(p, cfg)
-    return _read_parquet(os.path.join(p["graph"], "edges")).map_batches(
-        _rename_vids(lut_ref, {"src_name": "src", "dst_name": "dst"}, keep=["w"]),
-        batch_format="pyarrow",
+    nm = _namemap(p, cfg)
+    return nm.rename(
+        _read_parquet(os.path.join(p["graph"], "edges")),
+        {"src_name": "src", "dst_name": "dst"},
+        keep=["w"],
     )
 
 
@@ -196,22 +138,24 @@ def _pagerank_result(sf_dir: str, fixed_iters: int | None, tol: float):
     return res, p, cfg
 
 
+def _round_rank(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 6)),
+        }
+    )
+
+
 def pagerank_fixed(sf_dir: str, iters: int = PAGERANK_FIXED_ITERS) -> rd.Dataset:
     """(name, rank) after exactly `iters` power iterations, round 6 —
     matched by the unrolled SQL oracle."""
     res, p, cfg = _pagerank_result(sf_dir, iters, 0.0)
-    lut_ref = _name_lut_ref(p, cfg)
-
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        return pa.table(
-            {
-                "name": pa.array(_names_of(lut, t["vid"].to_numpy(zero_copy_only=False))),
-                "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 6)),
-            }
-        )
-
-    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    nm = _namemap(p, cfg)
+    return nm.rename(
+        res.vertex_table().map_batches(_round_rank, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["rank"],
+    )
 
 
 def ppr_fixed(sf_dir: str, source_names: list[str], iters: int = 20) -> rd.Dataset:
@@ -221,98 +165,107 @@ def ppr_fixed(sf_dir: str, source_names: list[str], iters: int = 20) -> rd.Datas
     from .algorithms.pagerank import PersonalizedPageRank
 
     ss, p, cfg = shardset(sf_dir, DIRECTED)
-    lut_ref = _name_lut_ref(p, cfg)
-    src_vids = [ray.get(_vid_of_name.remote(lut_ref, s)) for s in source_names]
+    nm = _namemap(p, cfg)
+    src_vids = [nm.vid_of_name(s) for s in source_names]
     res = Engine(ss, cfg).run(
         PersonalizedPageRank(src_vids, damping=PAGERANK_DAMPING,
                              max_iters=iters)
     )
-
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        return pa.table(
-            {
-                "name": pa.array(_names_of(lut, t["vid"].to_numpy(zero_copy_only=False))),
-                "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 6)),
-            }
-        )
-
-    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    return nm.rename(
+        res.vertex_table().map_batches(_round_rank, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["rank"],
+    )
 
 
 def pagerank_converged(sf_dir: str, tol: float = PAGERANK_TOL):
     """Full L1<tol convergence; returns (RunResult, named vertex Dataset)."""
     res, p, cfg = _pagerank_result(sf_dir, None, tol)
-    lut_ref = _name_lut_ref(p, cfg)
-    named = res.vertex_table().map_batches(
-        _rename_vids(lut_ref, {"name": "vid"}, keep=["rank"]),
-        batch_format="pyarrow",
+    named = _namemap(p, cfg).rename(
+        res.vertex_table(), {"name": "vid"}, keep=["rank"]
     )
     return res, named
 
 
-def pagerank_top20(sf_dir: str) -> pd.DataFrame:
-    """Top 20 of the FIXED-iteration PageRank (deterministic: rank rounded
-    to 6, ordered rank desc then name — exactly the SQL oracle's ORDER BY
-    over the unrolled power iteration)."""
-    df = pagerank_fixed(sf_dir, PAGERANK_FIXED_ITERS).to_pandas()
+def pagerank_top20(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top `k` of the FIXED-iteration PageRank (deterministic: rank
+    rounded to 6, ordered rank desc then name — exactly the SQL oracle's
+    ORDER BY over the unrolled power iteration).
+
+    Distributed: per-block top-k partials keep every row TIED with the
+    block's k-th rank (so the name tie-break can't lose a winner), only
+    those ≤ (k+ties)·blocks candidate rows are renamed and pulled — never
+    the full per-vertex table (the relational.py top-k pattern)."""
+    res, p, cfg = _pagerank_result(sf_dir, PAGERANK_FIXED_ITERS, 0.0)
+    nm = _namemap(p, cfg)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = _round_rank(t)
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        if len(r) > k:
+            thresh = np.partition(r, len(r) - k)[len(r) - k]
+            t = t.filter(pa.array(r >= thresh))
+        return t
+
+    cand = nm.rename(
+        res.vertex_table().map_batches(_partial, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["rank"],
+    )
+    df = cand.to_pandas()  # ≤ (k+ties)·blocks rows, bounded by k not |V|
     df = df.sort_values(["rank", "name"], ascending=[False, True], ignore_index=True)
-    return df.head(20)
+    return df.head(k)
 
 
 def cc_labels(sf_dir: str) -> rd.Dataset:
     """(name, component) — component = lexicographically smallest member
     NAME (canonical across systems: the engine's internal min-vid label is
-    remapped so the DuckDB oracle, which only knows names, can compare)."""
+    remapped so the DuckDB oracle, which only knows names, can compare).
+
+    The label→min-name mapping is computed distributed (grouped_apply);
+    the relabel broadcasts it only below the vertex threshold (component
+    count is |V|-bounded in the all-singletons worst case), else it is a
+    bucketed join."""
     from .agg import grouped_apply
     from .algorithms.cc import ConnectedComponents
 
     ss, p, cfg = shardset(sf_dir, UNDIRECTED)
     res = Engine(ss, cfg).run(ConnectedComponents())
-    lut_ref = _name_lut_ref(p, cfg)
+    nm = _namemap(p, cfg)
 
-    def _rank(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        idx = np.searchsorted(lut["vids"], t["vid"].to_numpy(zero_copy_only=False))
-        return pa.table(
+    named = nm.rename(
+        res.vertex_table(), {"name": "vid"}, keep=["label"]
+    ).materialize()
+
+    def _min_name(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("label", sort=False, as_index=False)["name"].min()
+        return out.rename(columns={"name": "component"})
+
+    mapping = grouped_apply(named, ["label"], _min_name)
+
+    if nm.broadcast:
+        mp = mapping.to_pandas()  # component-count bounded (≤ |V| ≤ threshold)
+        order = np.argsort(mp["label"].to_numpy(), kind="stable")
+        map_ref = ray.put(
             {
-                "vid": t["vid"],
-                "rank": pa.array(lut["ranks"][idx]),
-                "label": t["label"],
+                "labels": mp["label"].to_numpy()[order],
+                "comp": mp["component"].to_numpy()[order].astype(str),
             }
         )
 
-    ranked = res.vertex_table().map_batches(_rank, batch_format="pyarrow").materialize()
+        def _relabel(t: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            lab = t["label"].to_numpy(zero_copy_only=False)
+            comp = m["comp"][np.searchsorted(m["labels"], lab)]
+            return pa.table({"name": t["name"], "component": pa.array(comp)})
 
-    # canonical relabel: label → min member name-rank; component count is
-    # small, so the mapping broadcasts as two sorted arrays
-    def _min_rank(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("label", sort=False, as_index=False)["rank"].min()
+        return named.map_batches(_relabel, batch_format="pyarrow")
 
-    mapping = grouped_apply(ranked, ["label"], _min_rank).to_pandas()
-    order = np.argsort(mapping["label"].to_numpy(), kind="stable")
-    map_ref = ray.put(
-        {
-            "labels": mapping["label"].to_numpy()[order],
-            "minrank": mapping["rank"].to_numpy()[order],
-        }
+    from .agg import bucketed_join
+
+    out = bucketed_join(
+        named, mapping, ["label"],
+        num_buckets=max(cfg.num_buckets, cfg.num_parts),
     )
-
-    def _relabel(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        mp = ray.get(map_ref)
-        vids = t["vid"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(lut["vids"], vids)
-        lab = t["label"].to_numpy(zero_copy_only=False)
-        mr = mp["minrank"][np.searchsorted(mp["labels"], lab)]
-        return pa.table(
-            {
-                "name": pa.array(lut["names"][idx]),
-                "component": pa.array(lut["names_sorted"][mr]),
-            }
-        )
-
-    return ranked.map_batches(_relabel, batch_format="pyarrow")
+    return out.select_columns(["name", "component"])
 
 
 def cc_sizes(sf_dir: str) -> rd.Dataset:
@@ -331,24 +284,13 @@ def lpa_labels(sf_dir: str, max_iters: int = LPA_FIXED_ITERS) -> rd.Dataset:
     from .algorithms.lpa import LabelPropagation
 
     ss, p, cfg = shardset(sf_dir, UNDIRECTED)
-    lut_ref = _name_lut_ref(p, cfg)
+    nm = _namemap(p, cfg)
     res = Engine(ss, cfg).run(
-        LabelPropagation(max_iters=max_iters, init_labels_ref=lut_ref)
+        LabelPropagation(max_iters=max_iters, **nm.lpa_init_kwargs())
     )
-
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        vids = t["vid"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(lut["vids"], vids)
-        lab = t["label"].to_numpy(zero_copy_only=False)  # name ranks
-        return pa.table(
-            {
-                "name": pa.array(lut["names"][idx]),
-                "cluster": pa.array(lut["names_sorted"][lab]),
-            }
-        )
-
-    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    named = nm.rename(res.vertex_table(), {"name": "vid"}, keep=["label"])
+    # label is a global name rank → decode to the cluster name
+    return nm.rank_decode(named, {"cluster": "label"}, keep=["name"])
 
 
 def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) -> rd.Dataset:
@@ -358,20 +300,24 @@ def sssp_from_hub(sf_dir: str, source_name: str = "tool-00", iters: int = 10) ->
     from .algorithms.sssp import ShortestPaths
 
     ss, p, cfg = shardset(sf_dir, DIRECTED)
-    lut_ref = _name_lut_ref(p, cfg)
-    source_vid = ray.get(_vid_of_name.remote(lut_ref, source_name))
+    nm = _namemap(p, cfg)
+    source_vid = nm.vid_of_name(source_name)
     res = Engine(ss, cfg).run(ShortestPaths(source_vid=source_vid, max_iters=iters))
 
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
+    def _finite(t: pa.Table) -> pa.Table:
         d = t["dist"].to_numpy(zero_copy_only=False)
         keep = np.isfinite(d)
-        vids = t["vid"].to_numpy(zero_copy_only=False)[keep]
         return pa.table(
-            {"name": pa.array(_names_of(lut, vids)), "dist": pa.array(d[keep])}
+            {
+                "vid": pa.array(t["vid"].to_numpy(zero_copy_only=False)[keep]),
+                "dist": pa.array(d[keep]),
+            }
         )
 
-    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    return nm.rename(
+        res.vertex_table().map_batches(_finite, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["dist"],
+    )
 
 
 def hits_shards(sf_dir: str):
@@ -440,10 +386,9 @@ def hits_scores(sf_dir: str, iters: int = 10) -> rd.Dataset:
     last = res.history[-1]
     inv_h = 1.0 / np.sqrt(last.m1) if last.m1 > 0 else 0.0
     inv_a = 1.0 / np.sqrt(last.m2) if last.m2 > 0 else 0.0
-    lut_ref = _name_lut_ref(p, cfg)
+    nm = _namemap(p, cfg)
 
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
+    def _score(t: pa.Table) -> pa.Table:
         vid = t["vid"].to_numpy(zero_copy_only=False)
         local = vid // P
         hub = (local % 2) == 0
@@ -452,13 +397,16 @@ def hits_scores(sf_dir: str, iters: int = 10) -> rd.Dataset:
         score = np.round(val * np.where(hub, inv_h, inv_a), 6)
         return pa.table(
             {
-                "name": pa.array(_names_of(lut, orig)),
+                "vid": pa.array(orig),  # original-graph vid for the rename
                 "role": pa.array(np.where(hub, "hub", "authority")),
                 "score": pa.array(score),
             }
         )
 
-    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    return nm.rename(
+        res.vertex_table().map_batches(_score, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["role", "score"],
+    )
 
 
 def maxprop_ranks(sf_dir: str) -> rd.Dataset:
@@ -473,7 +421,7 @@ def maxprop_ranks(sf_dir: str) -> rd.Dataset:
     from .algorithms.compute_api import ComputeAlgorithm
 
     ss, p, cfg = shardset(sf_dir, DIRECTED)
-    lut_ref = _name_lut_ref(p, cfg)
+    nm = _namemap(p, cfg)
 
     def compute(v):
         if v.get_superstep() == 1:
@@ -490,28 +438,23 @@ def maxprop_ranks(sf_dir: str) -> rd.Dataset:
                     v.send_message(dst, v.get_value())
         v.vote_halt(True)
 
-    def init_val(vid, _ref=lut_ref):
-        lut = ray.get(_ref)  # node-cached plasma read
-        return int(lut["ranks"][np.searchsorted(lut["vids"], vid)])
-
-    algo = ComputeAlgorithm(compute=compute, initial_value=init_val,
+    algo = ComputeAlgorithm(compute=compute, initial_value=nm.rank_of_vid_fn(),
                             combiner=max)
     res = Engine(ss, cfg).run(algo)
     vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts)
 
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        vids = t["vid"].to_numpy(zero_copy_only=False)
+    def _vals(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "name": pa.array(_names_of(lut, vids)),
-                "max_seen": pa.array(
-                    np.asarray(t["value"].to_pylist(), np.int64)
-                ),
+                "vid": t["vid"],
+                "max_seen": pa.array(np.asarray(t["value"].to_pylist(), np.int64)),
             }
         )
 
-    return vt.map_batches(_name, batch_format="pyarrow")
+    return nm.rename(
+        vt.map_batches(_vals, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["max_seen"],
+    )
 
 
 def kcore_members(sf_dir: str, k: int = 5) -> rd.Dataset:
@@ -523,19 +466,22 @@ def kcore_members(sf_dir: str, k: int = 5) -> rd.Dataset:
     from .algorithms.kcore import KCore
 
     ss, p, cfg = shardset(sf_dir, UNDIRECTED)
-    lut_ref = _name_lut_ref(p, cfg)
+    nm = _namemap(p, cfg)
     res = Engine(ss, cfg).run(KCore(k))
 
-    def _name(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
+    def _alive(t: pa.Table) -> pa.Table:
         keep = t["alive"].to_numpy(zero_copy_only=False).astype(bool)
-        vids = t["vid"].to_numpy(zero_copy_only=False)[keep]
-        deg = t["deg"].to_numpy(zero_copy_only=False)[keep]
         return pa.table(
-            {"name": pa.array(_names_of(lut, vids)), "core_deg": pa.array(deg)}
+            {
+                "vid": pa.array(t["vid"].to_numpy(zero_copy_only=False)[keep]),
+                "core_deg": pa.array(t["deg"].to_numpy(zero_copy_only=False)[keep]),
+            }
         )
 
-    return res.vertex_table().map_batches(_name, batch_format="pyarrow")
+    return nm.rename(
+        res.vertex_table().map_batches(_alive, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["core_deg"],
+    )
 
 
 def triangles_per_vertex(sf_dir: str) -> rd.Dataset:
@@ -545,11 +491,7 @@ def triangles_per_vertex(sf_dir: str) -> rd.Dataset:
     p, cfg, _ = build_graph(sf_dir)
     edges = _read_parquet(os.path.join(p["graph"], "edges"))
     pv = triangle_counts(edges, num_buckets=cfg.num_buckets)
-    lut_ref = _name_lut_ref(p, cfg)
-    return pv.map_batches(
-        _rename_vids(lut_ref, {"name": "vid"}, keep=["triangles"]),
-        batch_format="pyarrow",
-    )
+    return _namemap(p, cfg).rename(pv, {"name": "vid"}, keep=["triangles"])
 
 
 def triangle_total_table(sf_dir: str) -> pd.DataFrame:
