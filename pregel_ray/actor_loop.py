@@ -100,12 +100,14 @@ class _PartWorker:
     delivery order is deterministic regardless of arrival order."""
 
     def __init__(self, widx, parts, shard_refs, meta_refs, shards_of_part,
-                 n_local_map, part_to_widx, token, parallel_scatter=True):
+                 n_local_map, part_to_widx, token, parallel_scatter=True,
+                 parallel_scatter_min_edges=16_000_000):
         self.widx = widx
         self.parts = sorted(parts)
         self.shards_of_part = {p: list(shards_of_part.get(p, ())) for p in self.parts}
         self.shard_refs = dict(shard_refs)  # kept for child-task scatter
         self.parallel_scatter = bool(parallel_scatter)
+        self.parallel_scatter_min_edges = int(parallel_scatter_min_edges)
         # fetch once, hold zero-copy plasma views for the pool's lifetime
         self.shards = {
             gid: ray.get(shard_refs[gid])
@@ -163,7 +165,12 @@ class _PartWorker:
 
     def _scatter(self, algo, ctx, part, state):
         gids = self.shards_of_part[part]
-        if len(gids) > 1 and self.parallel_scatter:
+        if (
+            len(gids) > 1
+            and self.parallel_scatter
+            and sum(len(self.shards[g]["dst"]) for g in gids)
+            >= self.parallel_scatter_min_edges
+        ):
             # hub-split partition: fan sub-shards out as child tasks (the
             # blocked ray.get yields this actor's CPU to the children);
             # gid-ordered collection keeps the chunk stream bit-identical
@@ -388,6 +395,7 @@ def _get_pool(engine, W: int):
             part_to_widx,
             engine.shards.shard_dir,
             engine.cfg.parallel_scatter,
+            engine.cfg.parallel_scatter_min_edges,
         )
         for w in range(W)
     ]

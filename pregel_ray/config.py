@@ -37,6 +37,15 @@ class EngineConfig:
     # Ray tasks instead of serially inside its apply task (engine.py
     # _scatter_rows). Deterministic either way; off only for debugging.
     parallel_scatter: bool = True
+    # Child-task scatter engages only when the partition's sub-shards carry
+    # at least this many edges in total. Measured (round 4, sf2.0 @32 cpus,
+    # BENCH/BASELINE.md "hub residual"): the inline scatter of a 1.15M-edge
+    # sub-shard is ~35 ms while the child-task round trip (spawn + return
+    # ~17 MB of packed chunks through plasma) costs 0.3-9 s EVEN ON AN IDLE
+    # cluster — the fan-out only amortizes when a partition's serial
+    # scatter compute (~15-30 ms per M edges) reaches seconds, i.e. tens
+    # of millions of edges.
+    parallel_scatter_min_edges: int = 16_000_000
     # Superstep chaining: build this many supersteps as ONE lazy Ray Data
     # plan and materialize once, amortizing the ~0.2 s per-execution
     # executor overhead. Only algorithms declaring supports_chaining use

@@ -198,9 +198,13 @@ class Metrics:
     m2: float = 0.0
     duration: float = 0.0
     rows: int = 0
+    # PREGEL_PROFILE_APPLY only: raw per-part metric dicts (stage timings)
+    parts: dict | None = field(default=None, repr=False, compare=False)
 
     def to_dict(self):
-        return self.__dict__.copy()
+        d = self.__dict__.copy()
+        d.pop("parts", None)
+        return d
 
 
 @dataclass
@@ -289,6 +293,19 @@ class Engine:
                 ray.kill(w)
         self._actor_pools.clear()
 
+    def _edges_of_part(self, part: int) -> int:
+        """Total edges across a partition's sub-shards (manifest sums,
+        cached per shard-store epoch; runs inside pickled Engine copies in
+        workers, each caching independently)."""
+        ss = self.shards
+        if getattr(self, "_pe_token", None) != ss.shard_dir:
+            pe: dict[int, int] = {}
+            for srow in ss.shards:
+                pe[srow["part"]] = pe.get(srow["part"], 0) + int(srow["n_edges"])
+            self._part_edges = pe
+            self._pe_token = ss.shard_dir
+        return self._part_edges.get(part, 0)
+
     # -- superstep stage factories (plain functions → stateless Ray tasks that
     #    reuse warm workers; CSR state is plasma-resident, so actor affinity
     #    is unnecessary and per-superstep actor-pool relaunch cost is avoided)
@@ -304,9 +321,16 @@ class Engine:
         sub-shards out as child Ray tasks — the blocked ray.get releases
         this task's CPU, so the children parallelize instead of running
         serially inside the apply task. Results are collected in gid order:
-        bit-identical to the serial path."""
+        bit-identical to the serial path. Gated on the partition's total
+        edge count (cfg.parallel_scatter_min_edges): below it the child
+        round-trip costs far more than the inline compute it saves
+        (measured — see config.py)."""
         gids = shards_of_part.get(part, [])
-        if len(gids) > 1 and self.cfg.parallel_scatter:
+        if (
+            len(gids) > 1
+            and self.cfg.parallel_scatter
+            and self._edges_of_part(part) >= self.cfg.parallel_scatter_min_edges
+        ):
             slim = {k: v for k, v in ctx.items() if not k.startswith("_")}
             state_ref = ray.put(state)
             futs = [
@@ -363,6 +387,10 @@ class Engine:
 
     def _apply_one(self, algorithm, ctx, meta_refs, refs, shards_of_part, mailbox,
                    needs_edges, n_local_map, token, group: pa.Table) -> pa.Table:
+        import time as _time
+
+        profile = bool(os.environ.get("PREGEL_PROFILE_APPLY"))
+        t0 = _time.monotonic()
         kinds = group["kind"].to_numpy(zero_copy_only=False)
         state_idx = np.flatnonzero(kinds == 0)
         assert len(state_idx) == 1, f"expected 1 state row, got {len(state_idx)}"
@@ -376,11 +404,13 @@ class Engine:
         msg_idx = msg_idx[np.argsort(shards[msg_idx], kind="stable")]
         msg_chunks = [unpack(group["blob"][int(j)].as_py()) for j in msg_idx]
         msgs = combine_msg_chunks(msg_chunks)
+        t1 = _time.monotonic()
 
         if needs_edges:
             ctx["_adj"] = _part_adjacency(token, part, refs, shards_of_part, n_local_map)
         pmeta = ray.get(meta_refs[part]) if part in meta_refs else {}
         new_state, metrics, agg = algorithm.apply(part, pmeta, state, msgs, ctx)
+        t2 = _time.monotonic()
         # fused scatter: emit this partition's S+1 messages from the
         # fresh state, so one groupby IS the whole superstep
         rows = self._scatter_rows(
@@ -388,6 +418,15 @@ class Engine:
         )
         metrics = dict(metrics)
         metrics["nmsg"] = int(sum(r["nmsg"] for r in rows))
+        if profile:
+            # PREGEL_PROFILE_APPLY=1: per-part stage timings ride the
+            # mailbox (driver exposes them as Metrics.parts) — the D6
+            # instrumentation used for the hub-skew decomposition
+            metrics["t_msg"] = t1 - t0
+            metrics["t_apply"] = t2 - t1
+            metrics["t_scatter"] = _time.monotonic() - t2
+            metrics["rows_in"] = int(len(msgs["dst"])) if msgs else 0
+            metrics["chunks_in"] = len(msg_chunks)
         agg_bytes = pickle.dumps(agg) if agg is not None else b""
         if mailbox is not None:
             # synchronous post: guarantees arrival before the barrier
@@ -417,6 +456,8 @@ class Engine:
             m.m2 += float(pm.get("m2", 0.0))
             if agg_bytes:
                 aggs.append(pickle.loads(agg_bytes))
+        if os.environ.get("PREGEL_PROFILE_APPLY"):
+            m.parts = {part: pm for part, (pm, _) in posted.items()}
         merged = algorithm.merge_agg(aggs) if aggs else {}
         return m, merged
 

@@ -48,12 +48,15 @@ def test_pagerank_actor_hub_split_and_convergence(ray_session, tmp_path):
     gid-ordered collection) and tolerance-based convergence must match the
     Dataset executor exactly."""
     tbl = fixtures.g_hub()
-    cfg_split = _cfg(max_edges_per_shard=16)
+    # min_edges=0 forces the CHILD-TASK path (production gates it on
+    # partition edge volume) so the parallel path stays covered
+    cfg_split = _cfg(max_edges_per_shard=16, parallel_scatter_min_edges=0)
     g = MicroGraph(tbl, str(tmp_path / "s"), cfg_split)
     assert any(len(v) > 1 for v in g.shards.shards_of_part.values())
     res_d = Engine(g.shards, cfg_split).run(PageRank(tol=1e-10))
     res_a = Engine(
-        g.shards, _cfg(max_edges_per_shard=16, executor="actors")
+        g.shards, _cfg(max_edges_per_shard=16, executor="actors",
+                       parallel_scatter_min_edges=0)
     ).run(PageRank(tol=1e-10))
     assert res_a.converged and res_a.supersteps == res_d.supersteps
     got_d = g.result_by_id(res_d.vertex_table().to_pandas(), "rank")

@@ -47,7 +47,10 @@ def test_pagerank_micrographs(ray_session, tmp_path, maker, n):
 def test_pagerank_hub_split_equals_unsplit(ray_session, tmp_path):
     """Skew path: forcing sub-shard splits must not change the result."""
     tbl = fixtures.g_hub()
-    cfg_split = EngineConfig(num_parts=4, max_edges_per_shard=16)
+    # min_edges=0 forces the CHILD-TASK scatter path (production gates it
+    # on partition edge volume) so the parallel path stays covered
+    cfg_split = EngineConfig(num_parts=4, max_edges_per_shard=16,
+                             parallel_scatter_min_edges=0)
     got_split, want, _, g = run_pagerank(tbl, tmp_path / "a", cfg=cfg_split)
     assert any(len(v) > 1 for v in g.shards.shards_of_part.values()), "split not exercised"
     got_plain, _, _, _ = run_pagerank(tbl, tmp_path / "b")
