@@ -591,6 +591,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hll_registers(ev, "user_id", by=["event_type"], p=8)
 
+    def events_tdigest(sf_dir):
+        # t-digest quantiles of the UNBOUNDED events.value domain — the
+        # scale path next to the oracle-exact sampled op
+        # (events_value_quantiles): mergeable ≤ delta-centroid partials
+        # ride the shuffle like the HLL registers. Centroid contents are
+        # not SQL-expressible, so this row has NO oracle_sql entry (the
+        # driver records the weaker rows-only check); the rank-error
+        # bound, merge law and determinism are pinned by
+        # tests/test_tdigest.py instead.
+        from pregel_ray.ops.tdigest import tdigest_quantiles
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        return tdigest_quantiles(
+            ev, "value", [0.25, 0.5, 0.75, 0.9, 0.99], delta=200
+        )
+
     from pregel_ray.ops import relational as R
     from pregel_ray.ops.dedup import exact_duplicates
     from pregel_ray.ops.text import (langid, lexical_stats, pii_scrub,
@@ -645,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_sessions": lambda sf: R.events_user_sessions(sf),
         "lineitem_quantity_quantiles": lambda sf: R.lineitem_quantity_quantiles(sf),
         "events_value_quantiles": lambda sf: R.events_value_quantiles(sf),
+        "events_value_quantiles_tdigest": events_tdigest,
         "events_hll_users": events_hll,
     }
 

@@ -141,6 +141,29 @@ def run_bench() -> dict:
     tri = triangle_total(pv)
     times["triangles"] = time.monotonic() - t0
 
+    # Op-family rows (round-4 judge task #8): the dedup and ANN pipelines
+    # measured like the engine stages so ops/ regressions get caught too.
+    # They run the exact driver-gate workloads over the sf dir's documents/
+    # embeddings tables (present at the driver scales; the synthesized
+    # transcript-only fixtures above sf0.1 skip them).
+    if os.path.exists(f"{sf_dir}/documents.parquet") and os.path.exists(
+        f"{sf_dir}/embeddings.parquet"
+    ):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as _entry
+
+        qs = _entry.queries()
+        for name, label in (
+            ("dedup_minhash_verified", "dedup_minhash_verify"),
+            ("dedup_clusters", "dedup_clusters"),
+            ("ann_ivf_topk", "ann_ivf"),
+        ):
+            t0 = time.monotonic()
+            r = qs[name](sf_dir)
+            # force execution (Dataset results are lazy; frames are done)
+            _ = r.count() if isinstance(r, rd.Dataset) else len(r)
+            times[f"op_{label}"] = time.monotonic() - t0
+
     headline = times["pagerank"]
     out = {
         "metric": "pagerank_convergence_sec_l1_1e-6",
@@ -191,7 +214,8 @@ def run_scaling() -> None:
     executor = os.environ.get("GRAFT_EXECUTOR", "dataset")
     for n in (lo_cpus, hi_cpus):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
-                   GRAFT_SF_DIR=f"/root/testdata/sf{sf}")
+                   GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+                   GRAFT_EXECUTOR=executor)
         if executor == "actors" and "GRAFT_ACTOR_WORKERS" not in os.environ:
             # pool = cpus/2 on BOTH legs so the engine's parallelism ratio
             # equals the CPU ratio — the default (cpus-2) would give the
@@ -199,9 +223,12 @@ def run_scaling() -> None:
             env["GRAFT_ACTOR_WORKERS"] = str(max(1, n // 2))
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        if p.returncode != 0:
+            sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-8000:] + "\n")
+            raise SystemExit(f"scaling leg cpus={n} failed rc={p.returncode}")
         results[n] = json.loads(p.stdout.strip().splitlines()[-1])
     t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)

@@ -101,13 +101,14 @@ class _PartWorker:
 
     def __init__(self, widx, parts, shard_refs, meta_refs, shards_of_part,
                  n_local_map, part_to_widx, token, parallel_scatter=True,
-                 parallel_scatter_min_edges=16_000_000):
+                 parallel_scatter_min_edges=16_000_000, presum_push=False):
         self.widx = widx
         self.parts = sorted(parts)
         self.shards_of_part = {p: list(shards_of_part.get(p, ())) for p in self.parts}
         self.shard_refs = dict(shard_refs)  # kept for child-task scatter
         self.parallel_scatter = bool(parallel_scatter)
         self.parallel_scatter_min_edges = int(parallel_scatter_min_edges)
+        self.presum_push = bool(presum_push)
         # fetch once, hold zero-copy plasma views for the pool's lifetime
         self.shards = {
             gid: ray.get(shard_refs[gid])
@@ -197,6 +198,32 @@ class _PartWorker:
                     out.append((int(dst_part), gid, n, pack(cols)))
         return out
 
+    def _presum(self, algo, out):
+        """Opt-in sender-side cross-shard combine (EngineConfig.presum_push):
+        fold this worker's chunks per destination PARTITION into one chunk
+        before the push — the exchange then carries ≤ P chunks per worker
+        per step instead of (#owned shards × P), and the receiver unpacks
+        W-fold fewer chunk rows. Legal only for algorithms declaring an
+        associative `precombine` (float regrouping ≈1e-16/fold — why this
+        is not the default). Folded chunks keep the MINIMUM member gid so
+        the receiver's gid-sort stays deterministic."""
+        fold = getattr(algo, "precombine", None)
+        if fold is None:
+            return out
+        by_dst: dict[int, list] = {}
+        for ch in out:
+            by_dst.setdefault(ch[0], []).append(ch)
+        folded = []
+        for dst_part in sorted(by_dst):
+            lst = sorted(by_dst[dst_part], key=lambda c: c[1])
+            if len(lst) == 1:
+                folded.append(lst[0])
+                continue
+            cols = combine_msg_chunks([unpack(c[3]) for c in lst])
+            comb = fold(cols)
+            folded.append((dst_part, lst[0][1], len(comb["dst"]), pack(comb)))
+        return folded
+
     def _deliver(self, ss, chunks):
         """Push outgoing chunks straight to their destination workers
         (`peer.post.remote`, delivery superstep ``ss``) and return the ack
@@ -210,11 +237,17 @@ class _PartWorker:
         for ch in chunks:
             by_w.setdefault(self.part_to_widx[ch[0]], []).append(ch)
         acks = []
+        px = getattr(self, "_px", None) or [0, 0, 0, 0]  # rbytes, rchunks, pushes, lbytes
         for w, lst in sorted(by_w.items()):
             if w == self.widx:
                 self.inbox.setdefault(ss, []).extend(lst)
+                px[3] += sum(len(c[3]) for c in lst)
             else:
                 acks.append(self.peers[w].post.remote(ss, lst))
+                px[0] += sum(len(c[3]) for c in lst)
+                px[1] += len(lst)
+                px[2] += 1
+        self._px = px
         return acks
 
     # -- lifecycle ---------------------------------------------------------
@@ -237,6 +270,8 @@ class _PartWorker:
             self.last[part] = (metrics, b"")
             posts[part] = (metrics, b"")
             out.extend(rows)
+        if self.presum_push:
+            out = self._presum(algo, out)
         return posts, self._deliver(1, out)
 
     def load_state(self, algo, block_refs, next_ss):
@@ -276,7 +311,16 @@ class _PartWorker:
         return posts
 
     def timings(self):
-        return getattr(self, "_t", None)
+        """Per-worker probe counters (BENCH decompositions): cumulative
+        compute/push seconds + step count, and the exchange volume —
+        remote push bytes/chunks/pushes and locally short-circuited bytes."""
+        t = getattr(self, "_t", None) or [0.0, 0.0, 0]
+        px = getattr(self, "_px", None) or [0, 0, 0, 0]
+        return {
+            "compute_sec": t[0], "push_sec": t[1], "steps": t[2],
+            "remote_bytes": px[0], "remote_chunks": px[1],
+            "remote_pushes": px[2], "local_bytes": px[3],
+        }
 
     def step(self, ctx):
         """One superstep over the owned parts: combine inbox → apply →
@@ -310,6 +354,8 @@ class _PartWorker:
             self.last[part] = (metrics, agg_bytes)
             posts[part] = (metrics, agg_bytes)
             out.extend(rows)
+        if self.presum_push:
+            out = self._presum(algo, out)
         t_compute = time.monotonic() - t0
         acks = self._deliver(ss + 1, out)
         t_push = time.monotonic() - t0 - t_compute
@@ -396,6 +442,7 @@ def _get_pool(engine, W: int):
             engine.shards.shard_dir,
             engine.cfg.parallel_scatter,
             engine.cfg.parallel_scatter_min_edges,
+            engine.cfg.presum_push,
         )
         for w in range(W)
     ]

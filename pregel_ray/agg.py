@@ -60,6 +60,25 @@ def _hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
     return h
 
 
+def arrow_groups(fn):
+    """Wrap a pandas-in pandas-out group fn so the STAGE emits
+    metadata-free Arrow blocks. A map_groups that returns DataFrames
+    makes every downstream arrow conversion re-attach the b'pandas'
+    schema metadata, whose unhashable pa.Schema defeats Ray's schema
+    dedup in every later shuffle ("Failed to hash the schemas" — the
+    io_util.py read-side fix, recurring mid-pipeline)."""
+
+    def _w(g: pd.DataFrame):
+        out = fn(g)
+        if isinstance(out, pa.Table):
+            return out.replace_schema_metadata(None)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return _w
+
+
 def grouped_apply(
     ds: rd.Dataset,
     keys: list[str],

@@ -42,6 +42,15 @@ class Algorithm:
     # the converged step.
     quiescent_convergence = True
 
+    # Optional sender-side cross-shard combine (actor executor,
+    # EngineConfig.presum_push): fold the chunks a worker emits toward one
+    # destination partition into ONE chunk before the push. Implement only
+    # when the combiner is ASSOCIATIVE — regrouping reorders float folds,
+    # so results match the default path to ~1e-15 per fold, not bitwise
+    # (the reason presum_push is opt-in). Returns the combined cols dict
+    # (must keep the "dst" column).
+    precombine = None
+
     # -- lifecycle ---------------------------------------------------------
     def init(self, part: int, n_local: int, pmeta: dict, ctx: dict):
         raise NotImplementedError

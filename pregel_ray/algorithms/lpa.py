@@ -78,6 +78,12 @@ class LabelPropagation(Algorithm):
         d, l, v = _sum_by_pairs(shard["dst"], lab, shard["w"])
         return self.split_by_dst_part(ctx["P"], d, {"lab": l, "w": v})
 
+    def precombine(self, msgs):
+        # (dst, label) weight sums are associative (the mode itself is not —
+        # shipping (label, weight-sum) pairs is what makes this legal)
+        d, l, v = _sum_by_pairs(msgs["dst"], msgs["lab"], msgs["w"])
+        return {"dst": d, "lab": l, "w": v}
+
     def apply(self, part, pmeta, state, msgs, ctx):
         label = state["label"].copy()
         P = ctx["P"]

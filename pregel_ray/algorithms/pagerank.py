@@ -77,6 +77,12 @@ class PageRank(Algorithm):
         nmsg = int(len(msgs["dst"])) if msgs else 0
         return {"rank": new_rank}, {"active": n, "nmsg": nmsg, "m1": l1, "m2": dangling}, None
 
+    def precombine(self, msgs):
+        # rank contributions sum associatively → sender-side cross-shard
+        # combine is legal (float regrouping: ≈1e-16/fold, not bitwise)
+        d, m = self.combine_by_dst(msgs["dst"], msgs["m"])
+        return {"dst": d, "m": m}
+
     def should_stop(self, metrics, superstep):
         if self.max_iters is not None:
             return superstep >= self.max_iters

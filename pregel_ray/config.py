@@ -46,6 +46,17 @@ class EngineConfig:
     # scatter compute (~15-30 ms per M edges) reaches seconds, i.e. tens
     # of millions of edges.
     parallel_scatter_min_edges: int = 16_000_000
+    # Actor executor only: sender-side cross-shard combine before the peer
+    # push (one chunk per worker per destination partition). Needs the
+    # algorithm to declare an associative `precombine`; OFF by default
+    # twice over: regrouping float folds breaks bit-identity with the
+    # Dataset executor (results agree to ~1e-15/fold — allclose, not
+    # bitwise), and the single-box A/B REJECTED it (sender fold costs more
+    # compute than the receiver chunk overhead it removes: sf1.0 W=4 wall
+    # 10-50% slower; 16× fewer chunks, ~18% fewer bytes — the trade may
+    # flip on real NICs, which is why the knob survives). Numbers in
+    # BENCH/BASELINE.md ("presum_push").
+    presum_push: bool = False
     # Superstep chaining: build this many supersteps as ONE lazy Ray Data
     # plan and materialize once, amortizing the ~0.2 s per-execution
     # executor overhead. Only algorithms declaring supports_chaining use

@@ -18,7 +18,7 @@ land in a single object (at 10^9+ vertices the LUT is tens of GB), so:
 - global NAME RANKS (LPA init labels, rank→name decodes) come from a
   DISTRIBUTED dense-rank build — sort by name, per-block row-number
   offsets, written as a partition-sliced parquet table
-  (``name_ranks_pP/part=K/``) so every consumer reads only its
+  (``name_ranks_pP/part-K/``) so every consumer reads only its
   partition's slice.
 
 The two paths are value-identical; tests/test_namemap.py pins that by
@@ -133,7 +133,7 @@ def build_name_ranks(vertices_dir: str, out_dir: str, P: int) -> str:
     """Distributed dense rank of vertex names: global sort by name →
     per-block row-number offsets (the only driver-side data is one count
     per block) → partition-sliced committed parquet
-    ``out_dir/part=K/data.parquet``. Names are unique by construction
+    ``out_dir/part-K/data.parquet``. Names are unique by construction
     (encode_vertices distinct), so dense rank == row number."""
     success = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(success):

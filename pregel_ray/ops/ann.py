@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..agg import arrow_groups
+
 
 def _stack(col) -> np.ndarray:
     return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
@@ -69,7 +71,7 @@ def brute_topk(
     return (
         embeddings.map_batches(_partials, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(_final, batch_format="pandas")
+        .map_groups(arrow_groups(_final), batch_format="pandas")
     )
 
 
@@ -220,7 +222,7 @@ def ivf_topk(
     return (
         embeddings.map_batches(_assign, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_search, batch_format="pandas")
+        .map_groups(arrow_groups(_search), batch_format="pandas")
         .groupby("query_id")
-        .map_groups(_final, batch_format="pandas")
+        .map_groups(arrow_groups(_final), batch_format="pandas")
     )

@@ -12,6 +12,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+from ..agg import arrow_groups
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..io_util import read_parquet as _read_parquet
@@ -113,7 +115,7 @@ def top_orders_with_customer(sf_dir: str, k: int = 10) -> rd.Dataset:
             batch_format="pyarrow",
         )
         .groupby("__g")
-        .map_groups(lambda g: _final(g.drop(columns="__g")), batch_format="pandas")
+        .map_groups(arrow_groups(lambda g: _final(g.drop(columns="__g"))), batch_format="pandas")
         .to_pandas()  # ≤ k rows: bounded by the query's k, not the data
     )
     cpath = f"{sf_dir}/customer.parquet"
@@ -557,7 +559,7 @@ def exact_quantiles(
             batch_format="pyarrow",
         )
         .groupby("__g")
-        .map_groups(lambda g: _pick(g.drop(columns="__g")), batch_format="pandas")
+        .map_groups(arrow_groups(lambda g: _pick(g.drop(columns="__g"))), batch_format="pandas")
     )
 
 
@@ -599,7 +601,7 @@ def approx_quantiles(
             batch_format="pyarrow",
         )
         .groupby("__g")
-        .map_groups(lambda g: _pick(g.drop(columns="__g")), batch_format="pandas")
+        .map_groups(arrow_groups(lambda g: _pick(g.drop(columns="__g"))), batch_format="pandas")
     )
 
 

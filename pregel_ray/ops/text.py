@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..agg import arrow_groups
+
 
 def token_counts(docs: rd.Dataset) -> rd.Dataset:
     """(doc_id, n_tokens): single-space tokenization — matches the DuckDB
@@ -314,5 +316,5 @@ def vocab_topk(docs: rd.Dataset, k: int = 50) -> rd.Dataset:
             batch_format="pyarrow",
         )
         .groupby("__g")
-        .map_groups(_final, batch_format="pandas")
+        .map_groups(arrow_groups(_final), batch_format="pandas")
     )

@@ -52,6 +52,14 @@ def default_cfg() -> EngineConfig:
     env = os.environ.get("PREGEL_BROADCAST_VERTEX_THRESHOLD")
     if env is not None:
         cfg.broadcast_vertex_threshold = int(env)
+    # Evidence knob: run every engine-backed query on the raw-actor
+    # executor (PREGEL_EXECUTOR=actors python tests/gate_check.py ... —
+    # wipe the fixture run_pr_* checkpoint dirs first or the pagerank
+    # queries resume from the finished dataset-executor run instead of
+    # re-executing)
+    env = os.environ.get("PREGEL_EXECUTOR")
+    if env:
+        cfg.executor = env
     return cfg
 
 

@@ -7,6 +7,17 @@ the driver's hash is over exactly that ordering, so equality here
 implies hash_match there).
 
 Usage:  python tests/gate_check.py [sf_dir] [query ...]
+
+Actor-executor leg (round-4 evidence): the same gate with every
+engine-backed query forced onto the raw-actor superstep executor —
+
+    rm -rf /tmp/pregel_ray_fixtures/convs=*/run_pr_*   # else pagerank
+                                                       # resumes finished
+                                                       # dataset-run ckpts
+    PREGEL_EXECUTOR=actors python tests/gate_check.py /root/testdata/sf0.01 \
+        pagerank_fixed20 pagerank_top20 cc_labels cc_sizes lpa_clusters \
+        sssp_from_hub kcore5_members ppr_from_tools maxprop_ranks \
+        hits_scores dedup_clusters
 """
 
 from __future__ import annotations

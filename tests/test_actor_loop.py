@@ -43,6 +43,35 @@ def test_pagerank_actor_executor_bit_identical(ray_session, tmp_path):
     _history_equal(res_a, res_d)
 
 
+def test_presum_push_parity(ray_session, tmp_path):
+    """Opt-in sender-side cross-shard combine (cfg.presum_push): PageRank
+    matches the default path to float-regrouping precision (allclose
+    1e-12, NOT bitwise — the reason it's opt-in), LPA exactly (its
+    weights are integer-valued counts, summed exactly in float64)."""
+    from pregel_ray.algorithms.lpa import LabelPropagation
+
+    tbl = fixtures.g_two_cliques_bridge()
+    g = MicroGraph(tbl, str(tmp_path / "s"), _cfg())
+    res_d = Engine(g.shards, _cfg()).run(PageRank(max_iters=12))
+    res_p = Engine(
+        g.shards, _cfg(executor="actors", actor_workers=2, presum_push=True)
+    ).run(PageRank(max_iters=12))
+    got_d = g.result_by_id(res_d.vertex_table().to_pandas(), "rank")
+    got_p = g.result_by_id(res_p.vertex_table().to_pandas(), "rank")
+    np.testing.assert_allclose(got_p, got_d, rtol=0, atol=1e-12)
+    assert res_p.supersteps == res_d.supersteps
+
+    gu = MicroGraph(tbl, str(tmp_path / "u"), _cfg(), variant=UNDIRECTED)
+    res_dl = Engine(gu.shards, _cfg()).run(LabelPropagation(max_iters=10))
+    res_pl = Engine(
+        gu.shards, _cfg(executor="actors", actor_workers=2, presum_push=True)
+    ).run(LabelPropagation(max_iters=10))
+    np.testing.assert_array_equal(
+        gu.result_by_id(res_pl.vertex_table().to_pandas(), "label"),
+        gu.result_by_id(res_dl.vertex_table().to_pandas(), "label"),
+    )
+
+
 def test_pagerank_actor_hub_split_and_convergence(ray_session, tmp_path):
     """Hub-split sub-shards (fanned to child tasks by their owning actor,
     gid-ordered collection) and tolerance-based convergence must match the
