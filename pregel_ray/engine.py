@@ -882,11 +882,16 @@ class Engine:
                     mailbox, resolve_prev=(j > 0),
                 )
                 plan = plan.groupby("part").map_groups(apply, batch_format="pyarrow")
-            new_state = (
-                # bound block count (sort output inherits input block count;
-                # unbounded it compounds every superstep)
-                plan.repartition(self._state_blocks).materialize()
-            )
+            new_state = plan.materialize()
+            if new_state.num_blocks() > self._state_blocks:
+                # bound block count (growth would compound every superstep).
+                # The groupby sort PRESERVES its input block count, so with
+                # state0 already at ≤ _state_blocks this never fires in the
+                # steady loop — the unconditional per-step repartition was
+                # pure overhead (round-4 old-vs-new interleaved A/B, sf2.0
+                # @8 cpus ×8 reps: median step 1.37 → 0.95 s, new faster in
+                # 7/8 reps, results bit-identical)
+                new_state = new_state.repartition(self._state_blocks).materialize()
             # hard lineage cut: rebuild from the materialized blocks so the
             # next chunk's plan starts at Input — without this the union
             # branch re-executes the whole superstep history (observed:
