@@ -175,37 +175,71 @@ _PARTIAL_SCHEMA = pa.schema(
 
 
 def tdigest_quantiles(
-    ds: rd.Dataset, col: str, qs: list[float], delta: int = 200
-) -> "pd.DataFrame":
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    delta: int = 200,
+    by: list[str] | None = None,
+) -> rd.Dataset:
     """Distributed quantiles of ``ds[col]`` via t-digest: each block folds
-    to ONE ≤ delta-centroid partial row (the sketch IS the shuffle
-    payload — same shape as ops/sketch.hll_registers), partials fold in
-    deterministic order, and the result is a tiny (q, value) frame.
+    map-side to ONE ≤ delta-centroid partial row per (block × group) —
+    the sketch IS the shuffle payload, the same shape as
+    ops/sketch.hll_registers — then one bucketed groupby folds each
+    group's partials in deterministic order and emits its (q, value)
+    rows. Nothing data-sized ever reaches the driver; with ``by=None``
+    the shuffle carries ≤ #blocks rows of ≤ delta centroids each.
 
-    Scale: the driver touches only ≤ #blocks partial rows of ≤ delta
-    centroids each (a 100 TB input at 128 MB blocks is ~800k rows × ~3 KB
-    — fold it with one more map_batches level if that ever binds;
-    the merge is associative so any tree shape preserves the bound)."""
+    Returns a Dataset of (by..., q_ppm, value, n) rows."""
     import pandas as pd
 
+    from ..agg import grouped_apply
+
+    keys = list(by) if by else []
+
     def _partial(t: pa.Table) -> pa.Table:
-        d = TDigest.from_values(
-            t[col].to_numpy(zero_copy_only=False), delta
+        vals = t[col].to_numpy(zero_copy_only=False)
+        out_rows = []
+        if keys:
+            df = pd.DataFrame({k: t[k].to_pylist() for k in keys})
+            df["__v"] = vals
+            for kv, g in df.groupby(keys, sort=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                r = TDigest.from_values(g["__v"].to_numpy(), delta).to_row()
+                out_rows.append(dict(zip(keys, kv)) | r)
+        else:
+            out_rows.append(TDigest.from_values(vals, delta).to_row())
+        schema = pa.schema(
+            [(k, t.schema.field(k).type) for k in keys]
+            + list(zip(_PARTIAL_SCHEMA.names, _PARTIAL_SCHEMA.types))
         )
-        r = d.to_row()
         return pa.table(
-            {k: pa.array([r[k]], _PARTIAL_SCHEMA.field(k).type)
-             for k in _PARTIAL_SCHEMA.names},
-            schema=_PARTIAL_SCHEMA,
+            {f.name: pa.array([r[f.name] for r in out_rows], f.type)
+             for f in schema},
+            schema=schema,
         )
 
-    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
-    digests = [TDigest.from_row(r, delta) for r in rows]
-    final = TDigest.merge_all(digests, delta)
-    return pd.DataFrame(
-        {
-            "q_ppm": [int(round(q * 1e6)) for q in qs],
-            "value": final.quantiles(qs),
-            "n": [int(final.n)] * len(qs),
-        }
-    )
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    if not keys:
+        partials = partials.map_batches(
+            lambda t: t.append_column(
+                "__g", pa.array(np.zeros(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+    gkeys = keys or ["__g"]
+    q_ppm = [int(round(q * 1e6)) for q in qs]
+
+    def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kv, gg in g.groupby(gkeys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            final = TDigest.merge_all(
+                [TDigest.from_row(r, delta) for _, r in gg.iterrows()], delta
+            )
+            base = dict(zip(gkeys, kv)) if keys else {}
+            for q, qp in zip(qs, q_ppm):
+                out.append(base | {"q_ppm": qp, "value": final.quantile(q),
+                                   "n": int(final.n)})
+        return pd.DataFrame(out)
+
+    return grouped_apply(partials, gkeys, _merge_group)

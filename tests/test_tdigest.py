@@ -116,8 +116,33 @@ def test_ray_pipeline_vs_numpy(ray_session):
     n = 160_000
     v = rng.lognormal(1.0, 1.0, n)
     ds = rd.from_arrow(pa.table({"value": pa.array(v)})).repartition(8)
-    out = tdigest_quantiles(ds, "value", QS, DELTA)
+    out = tdigest_quantiles(ds, "value", QS, DELTA).to_pandas()
     assert out["n"].tolist() == [n] * len(QS)
     s = np.sort(v)
-    for q, est in zip(QS, out["value"]):
+    got = out.set_index("q_ppm")
+    for q in QS:
+        est = got.loc[int(round(q * 1e6)), "value"]
         assert _rank_error(s, est, q) <= 2 * _bound(q, n), q
+
+
+def test_ray_pipeline_grouped(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    n = 90_000
+    grp = rng.integers(0, 3, n)
+    v = rng.exponential(1.0, n) * (grp + 1)  # per-group scale differs
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array([f"g{i}" for i in grp]), "value": pa.array(v)})
+    ).repartition(6)
+    out = tdigest_quantiles(ds, "value", QS, DELTA, by=["g"]).to_pandas()
+    assert len(out) == 3 * len(QS)
+    for gi in range(3):
+        sub = v[grp == gi]
+        s = np.sort(sub)
+        rows = out[out["g"] == f"g{gi}"].set_index("q_ppm")
+        assert rows["n"].iloc[0] == len(sub)
+        for q in QS:
+            est = rows.loc[int(round(q * 1e6)), "value"]
+            assert _rank_error(s, est, q) <= 2 * _bound(q, len(sub)), (gi, q)
