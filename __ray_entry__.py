@@ -473,6 +473,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text"]
         )
 
+    def doc_weighted_sample(sf_dir):
+        # deterministic WEIGHTED sample without replacement (Efraimidis-
+        # Spirakis exponential races, weight = token count): the corpus-
+        # mixture-sampling shape — longer docs proportionally likelier —
+        # reproducible on any layout, exact SQL oracle (md5-rebuilt
+        # uniforms, same ORDER BY -ln(u)/w LIMIT k)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pregel_ray.agg import weighted_hash_sample
+
+        def _w(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t["text"], " ")
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+                }
+            )
+
+        wtab = _docs(sf_dir).map_batches(_w, batch_format="pyarrow")
+        return weighted_hash_sample(wtab, "doc_id", "n_tokens", 50)
+
     def doc_stratified_sample(sf_dir):
         # corpus rebalancing: downsample dominant English to 10%, keep
         # 40% of every other language — deterministic per-stratum
@@ -639,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": lambda sf: pii_scrub(_docs(sf)),
         "doc_sample_100pm": doc_sample,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_weighted_sample_50": doc_weighted_sample,
         "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
@@ -660,6 +684,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": customers_without_big_orders,
         "events_user_sessions": lambda sf: R.events_user_sessions(sf),
         "lineitem_quantity_quantiles": lambda sf: R.lineitem_quantity_quantiles(sf),
+        "lineitem_quantity_quantiles_by_flag": lambda sf: R.exact_quantiles_by(
+            _read_parquet(f"{sf}/lineitem.parquet",
+                          columns=["l_returnflag", "l_quantity"]),
+            "l_quantity", [250, 500, 750, 900, 990], by=["l_returnflag"],
+        ),
         "events_value_quantiles": lambda sf: R.events_value_quantiles(sf),
         "events_value_quantiles_tdigest": events_tdigest,
         "events_hll_users": events_hll,
@@ -728,6 +757,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, text FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
                   CASE WHEN lang = 'en' THEN 100 ELSE 400 END""",
+        # weighted sample: the oracle rebuilds the IDENTICAL md5-derived
+        # uniforms (top 53 bits, exact in double) and replays the same
+        # exponential race -ln(u)/w — value-exact winner set
+        "doc_weighted_sample_50": """
+            WITH w AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents),
+                 keyed AS (SELECT doc_id, n_tokens,
+                    -ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                              % 9007199254740992 AS DOUBLE) + 0.5)
+                        / 9007199254740992.0) / n_tokens AS e
+                   FROM w)
+            SELECT doc_id, n_tokens FROM keyed ORDER BY e, doc_id LIMIT 50""",
         "customers_without_big_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN
@@ -903,6 +945,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem),
                  qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille)
             SELECT q.q_permille, s.value
+            FROM qs q JOIN s ON s.rn = (s.n - 1) * q.q_permille // 1000 + 1""",
+        "lineitem_quantity_quantiles_by_flag": """
+            WITH s AS (SELECT l_returnflag, l_quantity AS value,
+                              ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                                 ORDER BY l_quantity) AS rn,
+                              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                       FROM lineitem),
+                 qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille)
+            SELECT s.l_returnflag, q.q_permille, s.value
             FROM qs q JOIN s ON s.rn = (s.n - 1) * q.q_permille // 1000 + 1""",
         # sampled quantiles for the unbounded-domain regime: the oracle
         # rebuilds the IDENTICAL deterministic md5 sample, then the same

@@ -343,6 +343,66 @@ def stratified_hash_sample(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def weighted_hash_sample(
+    ds: rd.Dataset, key: str, weight_col: str, k: int
+) -> rd.Dataset:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006 exponential races — public algorithm): row i gets
+    ``e_i = -ln(u_i) / w_i`` with ``u_i`` a deterministic md5-uniform of
+    its key, and the k SMALLEST e win; inclusion is weight-proportional
+    at every draw. No RNG state: the same winners on any cluster size /
+    run / block layout (the corpus-mixture-sampling contract of
+    `hash_sample`, plus weights), and an exact SQL oracle exists —
+    DuckDB rebuilds u via ``md5_number_lower % 2^53`` and replays the
+    same ORDER BY e LIMIT k.
+
+    Distributed as per-block top-k partials + one ≤ k·blocks final fold
+    (the relational.py top-k pattern): only candidate rows shuffle.
+    Ties on e (probability ~0 for continuous u) break by key."""
+    import hashlib
+
+    M = 1 << 53  # u from the top 53 bits: exact in float64
+
+    def _key_e(t: pa.Table) -> np.ndarray:
+        vals = t[key].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+                % M
+                for v in vals
+            ),
+            np.int64, len(vals),
+        )
+        u = (h + 0.5) / M
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return -np.log(u) / w
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__e", pa.array([], pa.float64()))
+        e = _key_e(t)
+        kk = min(k, len(e))
+        kid = t[key].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((kid, e))[:kk]
+        return t.take(pa.array(np.sort(idx))).append_column(
+            "__e", pa.array(e[np.sort(idx)])
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__e", key], kind="mergesort").head(k)
+        return g.drop(columns=["__e", "__g"])
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        .groupby("__g")
+        .map_groups(arrow_groups(_final), batch_format="pandas")
+    )
+
+
 def hash_sample(
     ds: rd.Dataset, key: str, permille: int, out_of: int = 1000
 ) -> rd.Dataset:

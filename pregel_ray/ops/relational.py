@@ -563,6 +563,42 @@ def exact_quantiles(
     )
 
 
+def exact_quantiles_by(
+    ds: rd.Dataset, col: str, qs_permille: list[int], by: list[str]
+) -> rd.Dataset:
+    """Per-group exact discrete quantiles: the same distributed
+    value-histogram collapse as `exact_quantiles`, keyed on
+    (by..., value) — per-group rank picks then run over HISTOGRAM rows
+    (≤ groups × |domain|), not data rows. Output:
+    (by..., q_permille: int64, value: input dtype).
+
+    Partitioning assumption: bounded value domain per group (the
+    exact-regime contract of `exact_quantiles`); the per-group Python
+    iteration in the fold walks histogram groups, so group cardinality
+    should be ≪ data size (true for any categorical `by`)."""
+    from ..agg import group_count, grouped_apply
+
+    hist = group_count(ds.select_columns(by + [col]), by + [col], alias="__n")
+    qs = np.asarray(sorted(qs_permille), np.int64)
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kv, gg in g.groupby(by, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            gg = gg.sort_values(col, kind="mergesort")
+            cum = gg["__n"].cumsum().to_numpy()
+            n = cum[-1]
+            ranks = (n - 1) * qs // 1000
+            idx = np.searchsorted(cum, ranks + 1, side="left")
+            vals = gg[col].to_numpy()[idx]
+            base = dict(zip(by, kv))
+            for q, v in zip(qs, vals):
+                out.append(base | {"q_permille": int(q), "value": v})
+        return pd.DataFrame(out)
+
+    return grouped_apply(hist, by, _pick)
+
+
 def approx_quantiles(
     ds: rd.Dataset,
     col: str,

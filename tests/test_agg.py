@@ -189,6 +189,37 @@ def test_bucketed_join_int64_above_2_53_exact(ray_session):
             assert fp.null_count == 1 and fp[4].as_py() is None
 
 
+def test_weighted_hash_sample(ray_session):
+    """Winners equal the straight-numpy exponential race, and are
+    independent of block layout."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from pregel_ray.agg import weighted_hash_sample
+
+    rng = np.random.RandomState(9)
+    n, k = 500, 20
+    df = pd.DataFrame({"id": np.arange(n), "w": rng.randint(1, 50, n)})
+    M = 1 << 53
+    h = np.array(
+        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little") % M
+         for v in df["id"]]
+    )
+    e = -np.log((h + 0.5) / M) / df["w"].to_numpy()
+    want = df.iloc[np.lexsort((df["id"].to_numpy(), e))[:k]].sort_values(
+        "id", ignore_index=True
+    )
+    for blocks in (1, 7):
+        got = (
+            weighted_hash_sample(rd.from_pandas(df).repartition(blocks),
+                                 "id", "w", k)
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
 def test_hash_sample_deterministic(ray_session):
     import hashlib
 

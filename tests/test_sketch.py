@@ -262,3 +262,22 @@ def test_exact_quantiles_vs_numpy(ray_session):
     s = np.sort(vals)
     for q, v in zip(got["q_permille"], got["value"]):
         assert v == s[(len(s) - 1) * q // 1000]
+
+
+def test_exact_quantiles_by_vs_numpy(ray_session):
+    from pregel_ray.ops.relational import exact_quantiles_by
+
+    rng = np.random.default_rng(6)
+    n = 20_000
+    grp = rng.integers(0, 4, n)
+    vals = (rng.integers(1, 51, n) * (grp + 1)).astype(float)
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array([f"g{i}" for i in grp]), "v": pa.array(vals)})
+    ).repartition(5)
+    got = exact_quantiles_by(ds, "v", [250, 500, 750, 990], by=["g"]).to_pandas()
+    assert len(got) == 4 * 4
+    for gi in range(4):
+        s = np.sort(vals[grp == gi])
+        rows = got[got["g"] == f"g{gi}"].set_index("q_permille")
+        for q in (250, 500, 750, 990):
+            assert rows.loc[q, "value"] == s[(len(s) - 1) * q // 1000], (gi, q)
