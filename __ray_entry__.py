@@ -473,6 +473,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text"]
         )
 
+    def doc_search(sf_dir):
+        # posting-list AND search: only the 3 query terms' postings leave
+        # the scan (map-side vocab prune); exact SQL oracle via
+        # unnest(string_split) + HAVING count(DISTINCT tok) = 3
+        from pregel_ray.ops.text import keyword_search
+
+        return keyword_search(_docs(sf_dir), ["batch", "join", "stream"])
+
+    def doc_top_longest(sf_dir):
+        # grouped top-k: 5 longest docs (token count) per language,
+        # per-block per-group partials — no global sort
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pregel_ray.ops.text import grouped_topk
+
+        docs = _read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+
+        def _w(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t["text"], " ")
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+                }
+            )
+
+        return grouped_topk(
+            docs.map_batches(_w, batch_format="pyarrow"),
+            by=["lang"], order_col="n_tokens", k=5, tiebreak="doc_id",
+        )
+
     def doc_weighted_sample(sf_dir):
         # deterministic WEIGHTED sample without replacement (Efraimidis-
         # Spirakis exponential races, weight = token count): the corpus-
@@ -663,6 +697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_100pm": doc_sample,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_weighted_sample_50": doc_weighted_sample,
+        "docs_matching_all_terms": doc_search,
+        "doc_top5_longest_per_lang": doc_top_longest,
         "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
@@ -770,6 +806,23 @@ def oracle_sql() -> dict[str, str]:
                         / 9007199254740992.0) / n_tokens AS e
                    FROM w)
             SELECT doc_id, n_tokens FROM keyed ORDER BY e, doc_id LIMIT 50""",
+        "docs_matching_all_terms": """
+            WITH posts AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents))
+            SELECT doc_id FROM posts
+            WHERE tok IN ('batch', 'join', 'stream')
+            GROUP BY doc_id HAVING count(DISTINCT tok) = 3""",
+        "doc_top5_longest_per_lang": """
+            WITH w AS (SELECT lang, doc_id,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents),
+                 r AS (SELECT lang, doc_id, n_tokens,
+                              ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens DESC, doc_id) AS rn
+                       FROM w)
+            SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 5""",
         "customers_without_big_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN

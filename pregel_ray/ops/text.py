@@ -280,6 +280,81 @@ def pii_scrub(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(PiiScrub, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def build_inverted_index(
+    docs: rd.Dataset, vocab: list[str] | None = None
+) -> rd.Dataset:
+    """Distinct (token, doc_id) posting pairs — the inverted-index build.
+    `vocab` prunes tokens MAP-SIDE (a query over K terms moves only those
+    terms' postings, never the corpus). Explode is zero-copy
+    (list_flatten + list_parent_indices); batch-local distinct combines
+    map-side before the bucketed global distinct."""
+    from ..agg import distinct as _distinct
+
+    vocab_arr = pa.array(sorted(set(vocab))) if vocab else None
+
+    def _posts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        out = pa.table(
+            {
+                "token": pc.list_flatten(toks),
+                "doc_id": pc.take(
+                    t["doc_id"].combine_chunks(), pc.list_parent_indices(toks)
+                ),
+            }
+        )
+        if vocab_arr is not None:
+            out = out.filter(pc.is_in(out["token"], value_set=vocab_arr))
+        # batch-local distinct (map-side combine before the shuffle)
+        return out.group_by(["token", "doc_id"]).aggregate([])
+
+    return _distinct(
+        docs.map_batches(_posts, batch_format="pyarrow"), ["token", "doc_id"]
+    )
+
+
+def keyword_search(docs: rd.Dataset, terms: list[str]) -> rd.Dataset:
+    """(doc_id) of documents containing ALL `terms` (token-exact AND
+    semantics) via posting-list intersection: only the K query terms'
+    postings leave the scan, one bucketed count-distinct per doc_id
+    selects docs matching all K."""
+    from ..agg import grouped_apply
+
+    terms = sorted(set(terms))
+    posts = build_inverted_index(docs, vocab=terms)
+
+    def _match(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("doc_id", sort=False)["token"].nunique()
+        return pd.DataFrame({"doc_id": n.index[n == len(terms)].to_numpy()})
+
+    return grouped_apply(posts, ["doc_id"], _match)
+
+
+def grouped_topk(
+    ds: rd.Dataset, by: list[str], order_col: str, k: int,
+    tiebreak: str, ascending: bool = False,
+) -> rd.Dataset:
+    """Top-k rows PER GROUP, no global sort: each block keeps its own
+    top-k per group present (a block can only contribute k winners per
+    group), then one bucketed fold per group finishes — ≤ k·blocks rows
+    shuffle per group. Deterministic: order by (order_col, tiebreak)."""
+    from ..agg import grouped_apply
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], ascending=[ascending, True],
+                          kind="mergesort")
+        return g.groupby(by, sort=False, as_index=False).head(k)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = _topk(t.to_pandas())
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return grouped_apply(
+        ds.map_batches(_partial, batch_format="pyarrow"), by, _topk
+    )
+
+
 def vocab_topk(docs: rd.Dataset, k: int = 50) -> rd.Dataset:
     """Corpus-wide top-k token frequencies (token, n), ties broken by
     token asc. Shape: explode tokens (zero-copy list_flatten) → bucketed

@@ -433,3 +433,52 @@ def test_asof_join_nearest_and_tolerance(ray_session):
             want[["lid", "t", "g", "rt", "rv"]],
             check_dtype=False,
         )
+
+
+def test_inverted_index_and_keyword_search(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import build_inverted_index, keyword_search
+
+    texts = ["a b c", "b c d", "a a c", "d", "", "c b a"]
+    t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(3)
+
+    posts = build_inverted_index(ds).to_pandas()
+    want = {(tok, i) for i, x in enumerate(texts) for tok in set(x.split(" "))}
+    assert set(zip(posts["token"], posts["doc_id"])) == want  # distinct pairs
+
+    got = sorted(keyword_search(ds, ["a", "c"]).to_pandas()["doc_id"])
+    assert got == [0, 2, 5]
+    assert sorted(keyword_search(ds, ["d"]).to_pandas()["doc_id"]) == [1, 3]
+
+
+def test_grouped_topk_vs_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pregel_ray.ops.text import grouped_topk
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 300),
+            "id": np.arange(300),
+            "v": rng.randint(0, 40, 300),  # ties likely
+        }
+    )
+    got = (
+        grouped_topk(rd.from_pandas(df).repartition(5), ["g"], "v", 4, "id")
+        .to_pandas().sort_values(["g", "v", "id"],
+                                 ascending=[True, False, True],
+                                 ignore_index=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False, as_index=False).head(4)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True],
+                     ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "id", "v"]],
+                                  want[["g", "id", "v"]].astype(got[["g", "id", "v"]].dtypes.to_dict()))
