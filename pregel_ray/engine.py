@@ -250,7 +250,11 @@ def state_to_vertices(
             outs.append(pa.table(d))
         if not outs:
             return pa.table({"vid": pa.array([], pa.int64())})
-        return pa.concat_tables(outs)
+        # permissive: per-part decoded object columns can infer different
+        # types (an all-None part infers `null` vs another's float64) —
+        # latent until block packing co-located such parts (surfaced when
+        # the per-step repartition stopped reshuffling state rows)
+        return pa.concat_tables(outs, promote_options="permissive")
 
     return state.filter(lambda r: r["kind"] == 0).map_batches(_expand, batch_format="pyarrow")
 
