@@ -507,6 +507,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by=["lang"], order_col="n_tokens", k=5, tiebreak="doc_id",
         )
 
+    def doc_tfidf(sf_dir):
+        # per-doc top-3 tf·idf terms, score floored to integer ppm (same
+        # double ops in the same order as the SQL oracle — value-exact)
+        from pregel_ray.ops.text import tfidf_top_terms
+
+        return tfidf_top_terms(_docs(sf_dir), k=3)
+
     def doc_weighted_sample(sf_dir):
         # deterministic WEIGHTED sample without replacement (Efraimidis-
         # Spirakis exponential races, weight = token count): the corpus-
@@ -699,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample_50": doc_weighted_sample,
         "docs_matching_all_terms": doc_search,
         "doc_top5_longest_per_lang": doc_top_longest,
+        "doc_tfidf_top3": doc_tfidf,
         "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
@@ -823,6 +831,26 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY n_tokens DESC, doc_id) AS rn
                        FROM w)
             SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 5""",
+        "doc_tfidf_top3": """
+            WITH ex AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS token
+                        FROM documents),
+                 tf AS (SELECT doc_id, token, count(*) AS tf
+                        FROM ex GROUP BY doc_id, token),
+                 df AS (SELECT token, count(DISTINCT doc_id) AS df
+                        FROM ex GROUP BY token),
+                 nn AS (SELECT count(*) AS n FROM documents),
+                 sc AS (SELECT tf.doc_id, tf.token,
+                               CAST(floor(CAST(tf.tf AS DOUBLE)
+                                    * ln(CAST(nn.n AS DOUBLE)
+                                         / CAST(df.df AS DOUBLE))
+                                    * 1000000.0) AS BIGINT) AS score_ppm
+                        FROM tf JOIN df USING (token) CROSS JOIN nn),
+                 r AS (SELECT doc_id, token, score_ppm,
+                              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_ppm DESC, token) AS rn
+                       FROM sc)
+            SELECT doc_id, token, score_ppm FROM r WHERE rn <= 3""",
         "customers_without_big_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN

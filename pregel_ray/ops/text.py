@@ -355,6 +355,55 @@ def grouped_topk(
     )
 
 
+def tfidf_top_terms(docs: rd.Dataset, k: int = 3, n_docs: int | None = None) -> rd.Dataset:
+    """(doc_id, token, score_ppm): each document's top-k tokens by
+    tf·idf, idf = ln(N/df), score integer-scaled to ppm via floor so the
+    DuckDB oracle is value-exact (same double ops in the same order;
+    floor avoids half-rounding-rule mismatches). Ties → token asc.
+
+    Shape: one explode → bucketed tf count on (doc_id, token) + bucketed
+    df count on distinct (token, doc_id) → bucketed join on token (df is
+    corpus-vocabulary-sized — never broadcast) → grouped top-k per doc.
+    Every stage is the bounded-shuffle pattern; nothing is
+    corpus-bounded in one place."""
+    from ..agg import bucketed_join, distinct, group_count
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pc.take(
+                    t["doc_id"].combine_chunks(), pc.list_parent_indices(toks)
+                ),
+                "token": pc.list_flatten(toks),
+            }
+        )
+
+    exploded = docs.map_batches(_explode, batch_format="pyarrow")
+    tf = group_count(exploded, ["doc_id", "token"], alias="tf")
+    dft = group_count(
+        distinct(exploded, ["token", "doc_id"]), ["token"], alias="df"
+    )
+    n = n_docs if n_docs is not None else docs.count()
+
+    joined = bucketed_join(tf, dft, ["token"])
+
+    def _score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log(n / dfv)
+        score = np.floor(tfv * idf * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "token": t["token"],
+             "score_ppm": pa.array(score)}
+        )
+
+    return grouped_topk(
+        joined.map_batches(_score, batch_format="pyarrow"),
+        by=["doc_id"], order_col="score_ppm", k=k, tiebreak="token",
+    )
+
+
 def vocab_topk(docs: rd.Dataset, k: int = 50) -> rd.Dataset:
     """Corpus-wide top-k token frequencies (token, n), ties broken by
     token asc. Shape: explode tokens (zero-copy list_flatten) → bucketed

@@ -482,3 +482,44 @@ def test_grouped_topk_vs_pandas(ray_session):
     )
     pd.testing.assert_frame_equal(got[["g", "id", "v"]],
                                   want[["g", "id", "v"]].astype(got[["g", "id", "v"]].dtypes.to_dict()))
+
+
+def test_tfidf_top_terms_vs_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import tfidf_top_terms
+
+    texts = ["a a b c", "b c d", "a d d e", "c c c", "e f", "a b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    got = (
+        tfidf_top_terms(rd.from_arrow(t).repartition(3), k=2)
+        .to_pandas().sort_values(["doc_id", "score_ppm", "token"],
+                                 ascending=[True, False, True],
+                                 ignore_index=True)
+    )
+
+    # independent oracle
+    rows = []
+    n = len(texts)
+    df_counts = {}
+    for x in texts:
+        for tok in set(x.split(" ")):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    for i, x in enumerate(texts):
+        tf = {}
+        for tok in x.split(" "):
+            tf[tok] = tf.get(tok, 0) + 1
+        scored = sorted(
+            ((int(np.floor(c * np.log(n / df_counts[tok]) * 1_000_000.0)), tok)
+             for tok, c in tf.items()),
+            key=lambda p: (-p[0], p[1]),
+        )[:2]
+        for s, tok in scored:
+            rows.append((i, tok, s))
+    want = pd.DataFrame(rows, columns=["doc_id", "token", "score_ppm"]).sort_values(
+        ["doc_id", "score_ppm", "token"], ascending=[True, False, True],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
