@@ -514,6 +514,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return tfidf_top_terms(_docs(sf_dir), k=3)
 
+    def doc_lm(sf_dir):
+        # add-one bigram LM scores; per-bigram log-probs floored to int
+        # ppm BEFORE the per-doc sum, so the total is order-independent
+        # and the SQL oracle is value-exact
+        from pregel_ray.ops.text import bigram_lm_scores
+
+        return bigram_lm_scores(_docs(sf_dir))
+
     def doc_weighted_sample(sf_dir):
         # deterministic WEIGHTED sample without replacement (Efraimidis-
         # Spirakis exponential races, weight = token count): the corpus-
@@ -707,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_matching_all_terms": doc_search,
         "doc_top5_longest_per_lang": doc_top_longest,
         "doc_tfidf_top3": doc_tfidf,
+        "doc_bigram_lm_scores": doc_lm,
         "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
@@ -851,6 +860,27 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY score_ppm DESC, token) AS rn
                        FROM sc)
             SELECT doc_id, token, score_ppm FROM r WHERE rn <= 3""",
+        "doc_bigram_lm_scores": """
+            WITH ls AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+                 bg AS (SELECT doc_id, toks[n] AS w1, toks[n + 1] AS w2
+                        FROM ls, LATERAL (SELECT unnest(generate_series(
+                            1, len(toks) - 1)) AS n)),
+                 cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+                 c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+                 v AS (SELECT count(DISTINCT tok) AS v FROM (
+                        SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents)),
+                 lp AS (SELECT cb.w1, cb.w2,
+                               CAST(floor(ln((CAST(cb.cb AS DOUBLE) + 1.0)
+                                    / (CAST(c1.c1 AS DOUBLE)
+                                       + CAST(v.v AS DOUBLE)))
+                                    * 1000000.0) AS BIGINT) AS lp_ppm
+                        FROM cb JOIN c1 USING (w1) CROSS JOIN v)
+            SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(lp.lp_ppm) AS BIGINT) AS lm_ppm
+            FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+            GROUP BY bg.doc_id""",
         "customers_without_big_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN

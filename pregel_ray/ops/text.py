@@ -355,6 +355,87 @@ def grouped_topk(
     )
 
 
+def bigram_lm_scores(docs: rd.Dataset, n_vocab: int | None = None) -> rd.Dataset:
+    """(doc_id, n_bigrams, lm_ppm): per-document add-one-smoothed bigram
+    language-model score — the LM-based quality-filtering shape of a
+    training-data pipeline (score a corpus against its own bigram
+    statistics; low scores flag unnatural token streams).
+
+        lp(w1,w2)  = ln( (C(w1,w2)+1) / (C(w1,·)+V) )
+        lm_ppm     = Σ over the doc's bigrams of floor(lp · 1e6)
+
+    Per-bigram log-probs are floored to INTEGER ppm before the per-doc
+    sum, so the total is an order-independent int64 — value-exact vs the
+    SQL oracle with no float-summation-order caveat.
+
+    Shape: one bigram explode (consecutive-token pairs via
+    list_parent_indices — batch-safe because a doc is one row) →
+    bucketed bigram/first-token counts → ONE corpus-level lp table
+    (bucketed join on w1) → bucketed join of the doc's bigrams
+    (multiplicity preserved) → per-doc integer sum. Docs with < 2 tokens
+    have no bigrams and no row."""
+    from ..agg import bucketed_join, distinct, group_count, grouped_apply
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "w1": pa.array([], pa.string()),
+             "w2": pa.array([], pa.string())}
+        )
+        if len(flat) < 2:
+            return empty
+        same = parent[:-1] == parent[1:]
+        if not same.any():
+            return empty
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parent[:-1][same]]),
+                "w1": pa.array(flat[:-1][same], pa.string()),
+                "w2": pa.array(flat[1:][same], pa.string()),
+            }
+        )
+
+    bg = docs.map_batches(_bigrams, batch_format="pyarrow")
+    cb = group_count(bg.select_columns(["w1", "w2"]), ["w1", "w2"], alias="cb")
+    c1 = group_count(bg.select_columns(["w1"]), ["w1"], alias="c1")
+
+    if n_vocab is None:
+        def _toks(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t["text"], " ").combine_chunks()
+            return pa.table({"token": pc.unique(pc.list_flatten(toks))})
+
+        n_vocab = distinct(
+            docs.map_batches(_toks, batch_format="pyarrow"), ["token"]
+        ).count()
+    V = float(n_vocab)
+
+    lp_tbl = bucketed_join(cb, c1, ["w1"])
+
+    def _lp(t: pa.Table) -> pa.Table:
+        cbv = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1v = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.floor(np.log((cbv + 1.0) / (c1v + V)) * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "lp_ppm": pa.array(lp)}
+        )
+
+    scored = bucketed_join(
+        bg, lp_tbl.map_batches(_lp, batch_format="pyarrow"), ["w1", "w2"]
+    )
+
+    def _doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False, as_index=False).agg(
+            n_bigrams=("lp_ppm", "size"), lm_ppm=("lp_ppm", "sum")
+        )
+        return out
+
+    return grouped_apply(scored.select_columns(["doc_id", "lp_ppm"]),
+                         ["doc_id"], _doc_sum)
+
+
 def tfidf_top_terms(docs: rd.Dataset, k: int = 3, n_docs: int | None = None) -> rd.Dataset:
     """(doc_id, token, score_ppm): each document's top-k tokens by
     tf·idf, idf = ln(N/df), score integer-scaled to ppm via floor so the

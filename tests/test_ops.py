@@ -523,3 +523,41 @@ def test_tfidf_top_terms_vs_pandas(ray_session):
         ignore_index=True,
     )
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_bigram_lm_scores_vs_python(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import bigram_lm_scores
+
+    texts = ["a b a b c", "b c d a", "a a a", "x", "c d c d"]
+    t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    got = (
+        bigram_lm_scores(rd.from_arrow(t).repartition(3))
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+
+    # independent oracle
+    cb, c1, vocab = {}, {}, set()
+    for x in texts:
+        w = x.split(" ")
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = float(len(vocab))
+    rows = []
+    for i, x in enumerate(texts):
+        w = x.split(" ")
+        if len(w) < 2:
+            continue
+        s = sum(
+            int(np.floor(np.log((cb[(a, b)] + 1.0) / (c1[a] + V)) * 1_000_000.0))
+            for a, b in zip(w, w[1:])
+        )
+        rows.append((i, len(w) - 1, s))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "lm_ppm"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert 3 not in got["doc_id"].tolist()  # single-token doc has no row
