@@ -514,6 +514,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return tfidf_top_terms(_docs(sf_dir), k=3)
 
+    def user_activity_outer(sf_dir):
+        # FULL OUTER join: per-user event counts vs a customer-key range
+        # chosen so BOTH sides have unmatched rows (left-only users,
+        # right-only customers); typed-null carriers + key coalescing
+        import pyarrow.dataset as pads
+
+        from pregel_ray.agg import bucketed_join, group_count
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        ue = group_count(ev, ["user_id"], alias="n_events")
+        cust = _read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+            filter=(pads.field("c_custkey") >= 50)
+            & (pads.field("c_custkey") <= 199),
+        )
+        return bucketed_join(ue, cust, ["user_id"], ["c_custkey"], how="outer")
+
     def doc_lm(sf_dir):
         # add-one bigram LM scores; per-bigram log-probs floored to int
         # ppm BEFORE the per-doc sum, so the total is order-independent
@@ -735,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_rollup": lambda sf: R.supplier_nation_rollup(sf),
         "supplier_nation_cube": lambda sf: R.supplier_nation_cube(sf),
         "customers_without_big_orders": customers_without_big_orders,
+        "user_activity_customer_outer": user_activity_outer,
         "events_user_sessions": lambda sf: R.events_user_sessions(sf),
         "lineitem_quantity_quantiles": lambda sf: R.lineitem_quantity_quantiles(sf),
         "lineitem_quantity_quantiles_by_flag": lambda sf: R.exact_quantiles_by(
@@ -881,6 +899,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(lp.lp_ppm) AS BIGINT) AS lm_ppm
             FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
             GROUP BY bg.doc_id""",
+        "user_activity_customer_outer": """
+            WITH ue AS (SELECT user_id, count(*) AS n_events
+                        FROM events GROUP BY user_id),
+                 c AS (SELECT c_custkey, c_nationkey FROM customer
+                       WHERE c_custkey BETWEEN 50 AND 199)
+            SELECT COALESCE(ue.user_id, c.c_custkey) AS user_id,
+                   ue.n_events, c.c_nationkey
+            FROM ue FULL OUTER JOIN c ON ue.user_id = c.c_custkey""",
         "customers_without_big_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN

@@ -161,6 +161,13 @@ def bucketed_join(
     its row count (both sides of any key land in one bucket — skewed
     keys cost their rows, never all-pairs across buckets).
 
+    ``how="right"`` / ``"outer"`` complete the family: unmatched rows of
+    the kept side(s) carry typed nulls in the other side's columns (key
+    columns are coalesced by the per-bucket merge — a right-only row's
+    key appears under the LEFT key names, cast to the left key types).
+    Correct per bucket because both sides of any key hash to the same
+    bucket — a bucket sees the key's complete row set from both sides.
+
     ``how="semi"`` / ``"anti"`` return LEFT rows (left's columns only,
     no duplication) whose key does / does not appear on the right —
     the existence-join pair the checklist lists alongside hash joins;
@@ -174,7 +181,7 @@ def bucketed_join(
     positives just reach the per-bucket exact merge and drop there. Pays
     off when the left is much larger than its matching subset (the
     selective-join shape); size ≈ 10× right's distinct keys."""
-    assert how in ("inner", "left", "semi", "anti"), how
+    assert how in ("inner", "left", "right", "outer", "semi", "anti"), how
     right_on = right_on or left_on
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)

@@ -163,6 +163,33 @@ def test_bucketed_join_semi_anti_vs_pandas(ray_session):
         pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict())), how
 
 
+def test_bucketed_join_right_outer_vs_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pregel_ray.agg import bucketed_join
+
+    rng = np.random.RandomState(7)
+    l = pd.DataFrame({"k": rng.randint(0, 30, 120), "lv": np.arange(120)})
+    r = pd.DataFrame({"kk": rng.randint(15, 45, 60), "rv": np.arange(60) * 10})
+    for how in ("right", "outer"):
+        got = (
+            bucketed_join(rd.from_pandas(l), rd.from_pandas(r), ["k"], ["kk"],
+                          how=how, num_buckets=8)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], ignore_index=True, na_position="last")
+        )
+        want = (
+            pd.merge(l, r.rename(columns={"kk": "k"}), on="k", how=how)
+            .sort_values(["k", "lv", "rv"], ignore_index=True, na_position="last")
+        )
+        assert list(got.columns) == ["k", "lv", "rv"], how
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "float64", "lv": "float64", "rv": "float64"}),
+            want.astype({"k": "float64", "lv": "float64", "rv": "float64"}),
+        ), how
+
+
 def test_bucketed_join_int64_above_2_53_exact(ray_session):
     """Non-key int64 carriers above 2^53 (64-bit hash/fingerprint ids)
     must round-trip exactly — a float64 detour would corrupt them."""
