@@ -75,7 +75,7 @@ from .engine import Metrics, RunResult, _row, _table, combine_msg_chunks
 
 
 @ray.remote(num_cpus=0)
-def _scatter_shard(algo, ctx, shard, gid, state, pmeta):
+def _scatter_shard(algo, ctx, shard, gid, state, pmeta, first=True):
     """One sub-shard's scatter as a child task of its owning pool actor —
     the actor-loop twin of engine._scatter_one (hub-split partitions
     otherwise scatter their sub-shards serially inside the owner, the
@@ -85,6 +85,8 @@ def _scatter_shard(algo, ctx, shard, gid, state, pmeta):
     tasks), so a CPU-reserving child could never schedule when the pool
     spans every core — the children are short vectorized bursts that run
     while their parent blocks."""
+    ctx = dict(ctx)
+    ctx["_first_shard"] = bool(first)
     out = []
     for dst_part, cols in algo.scatter(shard, pmeta or {}, state, ctx):
         n = len(cols["dst"])
@@ -181,7 +183,7 @@ class _PartWorker:
             futs = [
                 _scatter_shard.remote(
                     algo, slim, self.shard_refs[g], g, state_ref,
-                    self.meta.get(part),
+                    self.meta.get(part), first=(g == gids[0]),
                 )
                 for g in gids
             ]
@@ -191,8 +193,12 @@ class _PartWorker:
             return out
         out = []
         for gid in gids:
+            # first-sub-shard marker: outbox-style scatters (compute_api)
+            # emit once per PARTITION, not once per sub-shard
+            local_ctx = dict(ctx)
+            local_ctx["_first_shard"] = gid == gids[0]
             for dst_part, cols in algo.scatter(self.shards[gid], self.meta[part],
-                                               state, ctx):
+                                               state, local_ctx):
                 n = len(cols["dst"])
                 if n:
                     out.append((int(dst_part), gid, n, pack(cols)))

@@ -208,6 +208,13 @@ class ComputeAlgorithm(Algorithm):
 
     # -- scatter: emit the outbox recorded by last superstep's computes ----
     def scatter(self, shard, pmeta, state, ctx):
+        # outbox-style scatter ignores the shard CONTENT, so a hub-split
+        # partition must emit only from its FIRST sub-shard — the engine
+        # marks it via ctx["_first_shard"] (else every sub-shard would
+        # duplicate the partition's messages; latent until splits met the
+        # per-vertex API, caught round 4)
+        if not ctx.get("_first_shard", True):
+            return []
         dst = state["outbox_dst"]
         if len(dst) == 0:
             return []

@@ -94,14 +94,18 @@ class _Mailbox:
 
 
 @ray.remote
-def _scatter_one(algorithm, ctx, shard, gid, state, pmeta):
+def _scatter_one(algorithm, ctx, shard, gid, state, pmeta, first=True):
     """One sub-shard's scatter as its own task — restores sub-shard
     parallelism for hub-split partitions (the fused scatter otherwise
     serializes a partition's sub-shards inside its apply task; the hub
     partition was a ~0.2 s/superstep straggler at sf1.0). `shard`,
     `state` and `pmeta` are passed as ObjectRefs, which Ray auto-derefs
-    into zero-copy plasma views at the worker."""
+    into zero-copy plasma views at the worker. `first` marks the
+    partition's first sub-shard (ctx["_first_shard"]) so outbox-style
+    scatters (compute_api) emit exactly once per partition."""
     pmeta = pmeta if pmeta is not None else {}
+    ctx = dict(ctx)
+    ctx["_first_shard"] = bool(first)
     out = []
     for dst_part, cols in algorithm.scatter(shard, pmeta, state, ctx):
         n = len(cols["dst"])
@@ -339,7 +343,8 @@ class Engine:
             state_ref = ray.put(state)
             futs = [
                 _scatter_one.remote(
-                    algorithm, slim, refs[g], g, state_ref, meta_refs.get(part)
+                    algorithm, slim, refs[g], g, state_ref, meta_refs.get(part),
+                    first=(g == gids[0]),
                 )
                 for g in gids
             ]
@@ -350,7 +355,11 @@ class Engine:
         out = []
         for gid in gids:
             shard = ray.get(refs[gid])  # zero-copy plasma views
-            for dst_part, cols in algorithm.scatter(shard, pmeta, state, ctx):
+            # first-sub-shard marker: outbox-style scatters (compute_api)
+            # emit once per PARTITION, not once per sub-shard
+            local_ctx = dict(ctx)
+            local_ctx["_first_shard"] = gid == gids[0]
+            for dst_part, cols in algorithm.scatter(shard, pmeta, state, local_ctx):
                 n = len(cols["dst"])
                 if n:
                     out.append(_row(dst_part, 1, gid, pack(cols), nmsg=n))

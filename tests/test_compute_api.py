@@ -180,3 +180,51 @@ def test_aggregator_available_next_superstep(ray_session, tmp_path):
     assert res.converged and res.supersteps == 2
     vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
     assert (vt["value"] == 4).all()
+
+
+def test_outbox_not_duplicated_on_hub_split(ray_session, tmp_path):
+    """A hub-split partition's outbox must emit ONCE, not once per
+    sub-shard: a message-COUNTING algorithm (no idempotent combiner to
+    mask duplicates) must produce identical counts split vs unsplit,
+    on both executors."""
+
+    def count_compute(v):
+        if v.get_superstep() == 1:
+            for _, dst, _ in v.pairs_edges():
+                v.send_message(dst, 1)
+        else:
+            total = v.get_value()
+            for m in v.pairs_messages():
+                total += m
+            v.set_value(total)
+        v.vote_halt(True)
+
+    tbl = fixtures.g_hub()
+
+    def run(cfg, path):
+        g = MicroGraph(tbl, str(tmp_path / path), cfg)
+        algo = ComputeAlgorithm(compute=count_compute, initial_value=0)
+        res = Engine(g.shards, cfg).run(algo)
+        vt = ComputeAlgorithm.values_from_state(res.state, cfg.num_parts).to_pandas()
+        return g, vt.sort_values("vid", ignore_index=True)
+
+    cfg_plain = EngineConfig(num_parts=4)
+    cfg_split = EngineConfig(num_parts=4, max_edges_per_shard=16,
+                             parallel_scatter_min_edges=0)
+    cfg_split_a = EngineConfig(num_parts=4, max_edges_per_shard=16,
+                               parallel_scatter_min_edges=0,
+                               executor="actors", actor_workers=2)
+    g, plain = run(cfg_plain, "plain")
+    gs, split = run(cfg_split, "split")
+    assert any(len(v) > 1 for v in gs.shards.shards_of_part.values()), "no split"
+    _, split_a = run(cfg_split_a, "split_a")
+
+    # counts equal the vertex IN-degree (each in-edge sends exactly one 1)
+    import pandas as pd
+    e = tbl.to_pandas()
+    want = e.groupby("dst").size()
+    got = dict(zip(plain["vid"], plain["value"]))
+    for d, n in want.items():
+        assert got[gs.vid_of[d]] == n, (d, got[gs.vid_of[d]], n)
+    pd.testing.assert_frame_equal(split, plain)
+    pd.testing.assert_frame_equal(split_a, plain)
