@@ -398,7 +398,18 @@ def bigram_lm_scores(docs: rd.Dataset, n_vocab: int | None = None) -> rd.Dataset
             }
         )
 
-    bg = docs.map_batches(_bigrams, batch_format="pyarrow")
+    # materialize once: bg feeds THREE consumers (cb, c1, the score join)
+    # and would otherwise re-run the explode per consumer; also lets the
+    # no-bigram corpus (all docs < 2 tokens) return a typed empty result
+    # instead of handing schema-less datasets to the join
+    bg = docs.map_batches(_bigrams, batch_format="pyarrow").materialize()
+    if bg.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                 ("lm_ppm", pa.int64())]
+            ).empty_table()
+        )
     cb = group_count(bg.select_columns(["w1", "w2"]), ["w1", "w2"], alias="cb")
     c1 = group_count(bg.select_columns(["w1"]), ["w1"], alias="c1")
 

@@ -561,3 +561,24 @@ def test_bigram_lm_scores_vs_python(ray_session):
     want = pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "lm_ppm"])
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
     assert 3 not in got["doc_id"].tolist()  # single-token doc has no row
+
+
+def test_new_text_ops_degenerate_inputs(ray_session):
+    """Empty and single-doc corpora must not crash the round-4 text ops."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import (bigram_lm_scores, grouped_topk,
+                                     keyword_search, tfidf_top_terms)
+
+    one = pa.table({"doc_id": pa.array([7]), "text": pa.array(["solo"])})
+    ds1 = rd.from_arrow(one)
+    assert keyword_search(ds1, ["solo"]).to_pandas()["doc_id"].tolist() == [7]
+    assert keyword_search(ds1, ["absent"]).count() == 0
+    t1 = tfidf_top_terms(ds1).to_pandas()
+    assert t1["token"].tolist() == ["solo"] and t1["score_ppm"].tolist() == [0]
+    assert bigram_lm_scores(ds1).count() == 0  # no bigrams in a 1-token doc
+
+    g1 = pa.table({"g": pa.array(["x"]), "id": pa.array([1]), "v": pa.array([5])})
+    gt = grouped_topk(rd.from_arrow(g1), ["g"], "v", 3, "id").to_pandas()
+    assert gt["id"].tolist() == [1]
