@@ -471,7 +471,16 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 3, n_docs: int | None = None) -> 
             }
         )
 
-    exploded = docs.map_batches(_explode, batch_format="pyarrow")
+    # materialize once (feeds tf + df) and give the empty corpus a typed
+    # empty result instead of schema-less datasets downstream
+    exploded = docs.map_batches(_explode, batch_format="pyarrow").materialize()
+    if exploded.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("token", pa.string()),
+                 ("score_ppm", pa.int64())]
+            ).empty_table()
+        )
     tf = group_count(exploded, ["doc_id", "token"], alias="tf")
     dft = group_count(
         distinct(exploded, ["token", "doc_id"]), ["token"], alias="df"

@@ -582,3 +582,10 @@ def test_new_text_ops_degenerate_inputs(ray_session):
     g1 = pa.table({"g": pa.array(["x"]), "id": pa.array([1]), "v": pa.array([5])})
     gt = grouped_topk(rd.from_arrow(g1), ["g"], "v", 3, "id").to_pandas()
     assert gt["id"].tolist() == [1]
+
+    # fully empty corpus
+    empty = rd.from_arrow(
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+    )
+    assert tfidf_top_terms(empty).count() == 0
+    assert bigram_lm_scores(empty).count() == 0
