@@ -146,3 +146,34 @@ def test_ray_pipeline_grouped(ray_session):
         for q in QS:
             est = rows.loc[int(round(q * 1e6)), "value"]
             assert _rank_error(s, est, q) <= 2 * _bound(q, len(sub)), (gi, q)
+
+
+def test_tdigest_agrees_with_sampled_quantiles(ray_session):
+    """Two independent estimators of the same distribution (t-digest
+    centroids vs the md5 hash-sample + rank pick) must land within their
+    combined rank bounds of each other."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import approx_quantiles
+
+    rng = np.random.default_rng(29)
+    n = 120_000
+    v = rng.lognormal(0.5, 1.2, n)
+    ds = rd.from_arrow(
+        pa.table({"event_id": pa.array(np.arange(n)), "value": pa.array(v)})
+    ).repartition(6)
+    qs = [0.25, 0.5, 0.75, 0.9]
+    td = tdigest_quantiles(ds, "value", qs, DELTA).to_pandas().set_index("q_ppm")
+    samp = (
+        approx_quantiles(ds, "value", [int(q * 1000) for q in qs], key="event_id")
+        .to_pandas().set_index("q_permille")
+    )
+    s = np.sort(v)
+    for q in qs:
+        a = td.loc[int(q * 1e6), "value"]
+        b = samp.loc[int(q * 1000), "value"]
+        ra = np.searchsorted(s, a) / n
+        rb = np.searchsorted(s, b) / n
+        # t-digest bound + DKW 10%-sample bound, generous 2x
+        assert abs(ra - rb) <= 2 * (_bound(q, n) + 0.015), (q, ra, rb)
