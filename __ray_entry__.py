@@ -531,6 +531,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_join(ue, cust, ["user_id"], ["c_custkey"], how="outer")
 
+    def docs_above_median_quality(sf_dir):
+        # composition: quality scoring → exact corpus median (histogram
+        # quantile) → strict filter. The quantile fold touches only the
+        # score histogram; the filter is one vectorized pass.
+        import pyarrow as pa
+
+        from pregel_ray.ops.relational import exact_quantiles
+        from pregel_ray.ops.text import quality_scores
+
+        q = quality_scores(_docs(sf_dir)).materialize()
+        med = int(
+            exact_quantiles(q, "quality_ppm", [500]).to_pandas()["value"].iloc[0]
+        )
+
+        def _filt(t: pa.Table) -> pa.Table:
+            keep = t["quality_ppm"].to_numpy(zero_copy_only=False) > med
+            return t.filter(pa.array(keep))
+
+        return q.map_batches(_filt, batch_format="pyarrow").select_columns(
+            ["doc_id", "quality_ppm"]
+        )
+
     def doc_lm(sf_dir):
         # add-one bigram LM scores; per-bigram log-probs floored to int
         # ppm BEFORE the per-doc sum, so the total is order-independent
@@ -733,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top5_longest_per_lang": doc_top_longest,
         "doc_tfidf_top3": doc_tfidf,
         "doc_bigram_lm_scores": doc_lm,
+        "docs_above_median_quality": docs_above_median_quality,
         "doc_vocab_top50": lambda sf: vocab_topk(_docs(sf), 50),
         "dedup_minhash_verified": minhash,
         "dedup_simhash_pairs": simhash,
@@ -929,6 +952,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(string_split(text, ' ')) AS token FROM documents)
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
         "doc_quality": _quality_sql(),
+        "docs_above_median_quality": (
+            "WITH q AS MATERIALIZED (SELECT * FROM ("
+            + _quality_sql()
+            + """)),
+            s AS (SELECT quality_ppm,
+                         ROW_NUMBER() OVER (ORDER BY quality_ppm) AS rn,
+                         COUNT(*) OVER () AS n
+                  FROM q),
+            m AS (SELECT quality_ppm AS med FROM s
+                  WHERE rn = (n - 1) * 500 // 1000 + 1)
+            SELECT q.doc_id, q.quality_ppm FROM q, m
+            WHERE q.quality_ppm > m.med"""
+        ),
         "dedup_minhash_verified": _jaccard_sql(800_000),
         "dedup_clusters": (
             "WITH RECURSIVE pairs AS MATERIALIZED (SELECT a, b FROM ("
