@@ -137,7 +137,8 @@ def run_bench() -> dict:
     eng_u.close()
 
     t0 = time.monotonic()
-    pv = triangle_counts(edges, num_buckets=cfg.num_buckets).materialize()
+    pv = triangle_counts(edges, num_buckets=cfg.num_buckets,
+                         broadcast_vertex_threshold=cfg.broadcast_vertex_threshold).materialize()
     tri = triangle_total(pv)
     times["triangles"] = time.monotonic() - t0
 

@@ -382,6 +382,13 @@ def weighted_hash_sample(
         )
         u = (h + 0.5) / M
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(w) and not (w > 0).all():
+            # E-S races are defined for strictly positive weights; w=0
+            # yields e=inf (can still win under-full) and w<0 always wins
+            raise ValueError(
+                f"weighted_hash_sample: {weight_col!r} must be strictly "
+                f"positive (min={w.min()!r})"
+            )
         return -np.log(u) / w
 
     def _partial(t: pa.Table) -> pa.Table:

@@ -40,12 +40,31 @@ def _canonical(t: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
 
 
-def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+def _orient_uv(a, b, da, db) -> pa.Table:
+    """(a,b) → directed low-rank → high-rank, rank = (deg, vid)."""
+    a_first = (da < db) | ((da == db) & (a < b))
+    u = np.where(a_first, a, b)
+    v = np.where(a_first, b, a)
+    return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    num_buckets: int = 64,
+    broadcast_vertex_threshold: int = 32_000_000,
+) -> rd.Dataset:
     """edges (src,dst,w; any orientation/dups) → Dataset (vid, triangles).
 
     Vertices with zero triangles are omitted (join with the vertex table
-    to densify if needed)."""
-    from ..agg import distinct, group_count
+    to densify if needed).
+
+    Degree attach is gated on `broadcast_vertex_threshold` (the
+    namemap.py pattern): at or below it the degree table becomes a plasma
+    LUT (one `ray.put`, read zero-copy per orient batch); above it —
+    where a |V|-sized LUT would drag tens of GB through the driver heap —
+    degrees are bucketed-joined onto each endpoint and the edge never
+    leaves the distributed plane."""
+    from ..agg import bucketed_join, distinct, group_count
 
     simple = distinct(
         edges.map_batches(_canonical, batch_format="pyarrow"), ["a", "b"],
@@ -62,39 +81,59 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     degrees = group_count(
         simple.map_batches(_endpoints, batch_format="pyarrow"), ["vid"],
         alias="count()", num_buckets=num_buckets,
-    )
-
-    # broadcast degrees (|V| ≪ |E|; for huge V switch to Dataset.join)
-    import ray
-
-    deg_blocks = [b for b in ray.get(degrees.to_arrow_refs()) if b.num_rows]
-    deg_tbl = pa.concat_tables(deg_blocks) if deg_blocks else None
-    if deg_tbl is None:
+    ).materialize()
+    n_vertices = degrees.count()
+    if n_vertices == 0:
         return rd.from_arrow(
             pa.table({"vid": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())})
         )
-    dvid = deg_tbl["vid"].to_numpy(zero_copy_only=False)
-    dcnt = deg_tbl["count()"].to_numpy(zero_copy_only=False)
-    order = np.argsort(dvid)
-    deg_ref = ray.put({"vid": dvid[order], "deg": dcnt[order]})
 
-    def _deg_of(vids, lut):
-        return lut["deg"][np.searchsorted(lut["vid"], vids)]
+    import ray
 
-    def _orient(t: pa.Table) -> pa.Table:
-        """(a,b) → directed low-rank → high-rank, rank = (deg, vid)."""
-        import ray as _r
+    if n_vertices <= broadcast_vertex_threshold:
+        # broadcast path: degree LUT in plasma, vectorized searchsorted
+        deg_tbl = pa.concat_tables(
+            [b for b in ray.get(degrees.to_arrow_refs()) if b.num_rows]
+        )
+        dvid = deg_tbl["vid"].to_numpy(zero_copy_only=False)
+        dcnt = deg_tbl["count()"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dvid)
+        deg_ref = ray.put({"vid": dvid[order], "deg": dcnt[order]})
 
-        lut = _r.get(deg_ref)
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        da, db = _deg_of(a, lut), _deg_of(b, lut)
-        a_first = (da < db) | ((da == db) & (a < b))
-        u = np.where(a_first, a, b)
-        v = np.where(a_first, b, a)
-        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+        def _deg_of(vids, lut):
+            idx = np.searchsorted(lut["vid"], vids)
+            if not np.array_equal(lut["vid"][idx], vids):
+                raise KeyError("edge endpoint missing from degree table")
+            return lut["deg"][idx]
 
-    oriented = simple.map_batches(_orient, batch_format="pyarrow")
+        def _orient(t: pa.Table) -> pa.Table:
+            lut = ray.get(deg_ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return _orient_uv(a, b, _deg_of(a, lut), _deg_of(b, lut))
+
+        oriented = simple.map_batches(_orient, batch_format="pyarrow")
+    else:
+        # distributed path: attach each endpoint's degree with a bucketed
+        # map-side join (no driver-side O(|V|) materialization anywhere)
+        with_da = bucketed_join(
+            simple, degrees.rename_columns({"count()": "deg_a"}),
+            ["a"], ["vid"], num_buckets=num_buckets,
+        ).select_columns(["a", "b", "deg_a"])
+        with_dab = bucketed_join(
+            with_da, degrees.rename_columns({"count()": "deg_b"}),
+            ["b"], ["vid"], num_buckets=num_buckets,
+        ).select_columns(["a", "b", "deg_a", "deg_b"])
+
+        def _orient_joined(t: pa.Table) -> pa.Table:
+            return _orient_uv(
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+                t["deg_a"].to_numpy(zero_copy_only=False),
+                t["deg_b"].to_numpy(zero_copy_only=False),
+            )
+
+        oriented = with_dab.map_batches(_orient_joined, batch_format="pyarrow")
 
     # wedges per center u: all ordered neighbor pairs, via a vectorized
     # self-merge on u (C-speed; no per-vertex Python loop)

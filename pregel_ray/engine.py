@@ -257,8 +257,20 @@ def state_to_vertices(
         # permissive: per-part decoded object columns can infer different
         # types (an all-None part infers `null` vs another's float64) —
         # latent until block packing co-located such parts (surfaced when
-        # the per-step repartition stopped reshuffling state rows)
-        return pa.concat_tables(outs, promote_options="permissive")
+        # the per-step repartition stopped reshuffling state rows).
+        # Permissive promotion also allows int64→float64 unification, which
+        # silently corrupts ints > 2^53 — fail fast if that ever happens.
+        merged = pa.concat_tables(outs, promote_options="permissive")
+        for f in merged.schema:
+            if pa.types.is_floating(f.type) and any(
+                pa.types.is_integer(o.schema.field(f.name).type) for o in outs
+            ):
+                raise TypeError(
+                    f"state column {f.name!r}: integer parts were widened to "
+                    f"{f.type} during concat (lossy above 2^53); unify the "
+                    "per-part dtypes in the algorithm's state instead"
+                )
+        return merged
 
     return state.filter(lambda r: r["kind"] == 0).map_batches(_expand, batch_format="pyarrow")
 

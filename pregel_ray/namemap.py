@@ -83,12 +83,22 @@ def _name_lut_task(vertices_dir: str, P: int) -> dict:
 
 
 def _names_of(lut: dict, vid_arr: np.ndarray) -> np.ndarray:
-    return lut["names"][np.searchsorted(lut["vids"], vid_arr)]
+    # clip + equality fail-fast (relational._lookup_names pattern): a vid
+    # absent from the LUT (e.g. dangling after delete_vertex) must raise,
+    # not silently map to an adjacent entry's name.
+    idx = np.clip(np.searchsorted(lut["vids"], vid_arr), 0, len(lut["vids"]) - 1)
+    if not np.array_equal(lut["vids"][idx], vid_arr):
+        missing = np.unique(np.asarray(vid_arr)[lut["vids"][idx] != vid_arr])
+        raise KeyError(f"vids not in vertex table: {missing[:10].tolist()}")
+    return lut["names"][idx]
 
 
 @ray.remote
 def _vid_of_name_bcast(lut: dict, name: str) -> int:
-    i = int(np.searchsorted(lut["names_sorted"], name))
+    ns = lut["names_sorted"]
+    i = min(int(np.searchsorted(ns, name)), len(ns) - 1)
+    if ns[i] != name:
+        raise KeyError(f"vertex name {name!r} not in vertex table")
     return int(lut["vids_by_rank"][i])
 
 
@@ -258,6 +268,11 @@ class NameMap:
                 cols = {}
                 for out, src in spec.items():
                     r = t[src].to_numpy(zero_copy_only=False)
+                    if len(r) and (r.min() < 0 or r.max() >= len(lut["names_sorted"])):
+                        raise KeyError(
+                            f"name rank out of range [0, {len(lut['names_sorted'])}) "
+                            f"in column {src!r}"
+                        )
                     cols[out] = pa.array(lut["names_sorted"][r])
                 for k in keep:
                     cols[k] = t[k]

@@ -298,9 +298,20 @@ def _jaccard_verify_join(docs, candidates, k, threshold) -> rd.Dataset:
         b = t["b"].to_numpy(zero_copy_only=False)
         common = np.empty(len(a), np.int64)
         union = np.empty(len(a), np.int64)
-        for i, (ta, tb) in enumerate(zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())):
-            sa = frozenset(_shingle_hashes(ta, k).tolist())
-            sb = frozenset(_shingle_hashes(tb, k).tolist())
+        # batch-local shingle cache: pairs arrive bucketed by `a`, so a doc
+        # in m candidate pairs is shingled once per batch, not m times
+        cache: dict[int, frozenset] = {}
+
+        def _sh(did: int, text) -> frozenset:
+            s = cache.get(did)
+            if s is None:
+                s = cache[did] = frozenset(_shingle_hashes(text, k).tolist())
+            return s
+
+        texts_a, texts_b = t["text_a"].to_pylist(), t["text_b"].to_pylist()
+        for i in range(len(a)):
+            sa = _sh(int(a[i]), texts_a[i])
+            sb = _sh(int(b[i]), texts_b[i])
             common[i] = len(sa & sb)
             union[i] = len(sa | sb)
         keep, ppm = _jac_keep(common, union, threshold)

@@ -290,7 +290,9 @@ def build_inverted_index(
     map-side before the bucketed global distinct."""
     from ..agg import distinct as _distinct
 
-    vocab_arr = pa.array(sorted(set(vocab))) if vocab else None
+    # `is not None`: vocab=[] means "prune to nothing" (empty index), NOT
+    # "build the full unpruned corpus index" — only vocab=None means that
+    vocab_arr = pa.array(sorted(set(vocab))) if vocab is not None else None
 
     def _posts(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ").combine_chunks()
@@ -320,6 +322,10 @@ def keyword_search(docs: rd.Dataset, terms: list[str]) -> rd.Dataset:
     from ..agg import grouped_apply
 
     terms = sorted(set(terms))
+    if not terms:
+        # vacuous AND: every document matches (and never build an
+        # unpruned corpus index as a side effect)
+        return docs.select_columns(["doc_id"])
     posts = build_inverted_index(docs, vocab=terms)
 
     def _match(g: pd.DataFrame) -> pd.DataFrame:

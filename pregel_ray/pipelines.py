@@ -498,7 +498,8 @@ def triangles_per_vertex(sf_dir: str) -> rd.Dataset:
 
     p, cfg, _ = build_graph(sf_dir)
     edges = _read_parquet(os.path.join(p["graph"], "edges"))
-    pv = triangle_counts(edges, num_buckets=cfg.num_buckets)
+    pv = triangle_counts(edges, num_buckets=cfg.num_buckets,
+                         broadcast_vertex_threshold=cfg.broadcast_vertex_threshold)
     return _namemap(p, cfg).rename(pv, {"name": "vid"}, keep=["triangles"])
 
 
@@ -507,5 +508,6 @@ def triangle_total_table(sf_dir: str) -> pd.DataFrame:
 
     p, cfg, _ = build_graph(sf_dir)
     edges = _read_parquet(os.path.join(p["graph"], "edges"))
-    pv = triangle_counts(edges, num_buckets=cfg.num_buckets).materialize()
+    pv = triangle_counts(edges, num_buckets=cfg.num_buckets,
+                         broadcast_vertex_threshold=cfg.broadcast_vertex_threshold).materialize()
     return pd.DataFrame({"total": [triangle_total(pv)]})

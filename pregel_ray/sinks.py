@@ -42,6 +42,22 @@ def _part_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part:05d}")
 
 
+def _committed_rows(out_dir: str, part: int) -> int:
+    """Row count of a committed partition: the `rows=N` sidecar in its
+    _SUCCESS when present (new writers), else the parquet footer (old
+    markers wrote 'ok')."""
+    d = _part_dir(out_dir, part)
+    try:
+        with open(os.path.join(d, "_SUCCESS")) as f:
+            line = f.read().strip()
+        if line.startswith("rows="):
+            return int(line.split("=", 1)[1])
+    except (OSError, ValueError):
+        pass
+    p = os.path.join(d, "data.parquet")
+    return pq.read_metadata(p).num_rows if os.path.exists(p) else 0
+
+
 def write_partitioned(
     ds: rd.Dataset,
     out_dir: str,
@@ -82,7 +98,7 @@ def write_partitioned(
         ).replace_schema_metadata(None)
         pq.write_table(tbl, os.path.join(d, "data.parquet"))
         with open(os.path.join(d, "_SUCCESS"), "w") as f:
-            f.write("ok\n")
+            f.write(f"rows={len(g)}\n")  # sidecar count: reruns report it
         return pd.DataFrame({"partition": [part], "rows": [len(g)]})
 
     manifest = (
@@ -109,13 +125,22 @@ def write_partitioned(
             d = _part_dir(out_dir, part)
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, "_SUCCESS"), "w") as f:
-                f.write("ok\n")
+                f.write("rows=0\n")
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write("ok\n")
-    # manifest covers every partition: freshly written rows, 0 for
-    # skipped-committed and empty ones — len(manifest) == num_partitions
+    # manifest covers every partition: freshly written rows; partitions
+    # skipped because a prior run committed them report the sidecar count
+    # from their _SUCCESS (distinguishable via skipped=True), so rows is
+    # never a silent 0 for non-empty committed data
     full = pd.DataFrame({"partition": np.arange(num_partitions, dtype=np.int64)})
-    return full.merge(manifest, on="partition", how="left").fillna({"rows": 0})
+    full = full.merge(manifest, on="partition", how="left")
+    full["skipped"] = full["partition"].isin(done) & full["rows"].isna()
+    for part in full.loc[full["skipped"], "partition"]:
+        full.loc[full["partition"] == part, "rows"] = _committed_rows(
+            out_dir, int(part)
+        )
+    full["rows"] = full["rows"].fillna(0).astype(np.int64)
+    return full
 
 
 def read_partitioned(out_dir: str) -> rd.Dataset:

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 
 def test_group_sum_and_count_and_distinct(ray_session):
@@ -301,3 +302,15 @@ def test_stratified_hash_sample_deterministic(ray_session):
         rd.from_pandas(df).repartition(9), "id", "grp", rates
     ).to_pandas()
     assert sorted(got2["id"]) == sorted(got["id"])
+
+
+def test_weighted_hash_sample_rejects_nonpositive_weights(ray_session):
+    """ADVICE r4: E-S races are undefined for w<=0 — fail fast."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pregel_ray.agg import weighted_hash_sample
+
+    t = pa.table({"k": pa.array([1, 2, 3]), "w": pa.array([1.0, 0.0, 2.0])})
+    with pytest.raises((ValueError, Exception)) as ei:
+        weighted_hash_sample(rd.from_arrow(t), "k", "w", 2).to_pandas()
+    assert "strictly positive" in str(ei.value)

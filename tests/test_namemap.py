@@ -42,3 +42,25 @@ def test_fallback_matches_broadcast(ray_session, monkeypatch, query):
     want = _run(query, SF, 10**9, monkeypatch)
     got = _run(query, SF, 0, monkeypatch)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_broadcast_lookups_fail_fast(ray_session, tmp_path):
+    """ADVICE r4: unknown vid / name / out-of-range rank raises KeyError
+    instead of silently resolving to an adjacent entry."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pregel_ray.namemap import _names_of
+
+    # minimal lut with the fields _names_of / _vid_of_name_bcast read
+    vids = np.array([0, 4, 9], np.int64)
+    names = np.array(["x", "y", "z"], dtype=str)
+    lut = {"vids": vids, "names": names,
+           "names_sorted": np.sort(names),
+           "vids_by_rank": vids[np.argsort(names)]}
+    assert _names_of(lut, np.array([4, 9])).tolist() == ["y", "z"]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        _names_of(lut, np.array([4, 5]))
+    with _pt.raises(KeyError):
+        _names_of(lut, np.array([99]))

@@ -589,3 +589,18 @@ def test_new_text_ops_degenerate_inputs(ray_session):
     )
     assert tfidf_top_terms(empty).count() == 0
     assert bigram_lm_scores(empty).count() == 0
+
+
+def test_keyword_search_empty_terms_is_vacuous_and(ray_session):
+    """ADVICE r4: no terms → every document matches (and no unpruned
+    corpus index is built); vocab=[] builds an empty index."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import build_inverted_index, keyword_search
+
+    t = pa.table({"doc_id": pa.array([1, 2]), "text": pa.array(["a b", "c"])})
+    ds = rd.from_arrow(t)
+    assert sorted(keyword_search(ds, []).to_pandas()["doc_id"]) == [1, 2]
+    assert build_inverted_index(ds, vocab=[]).count() == 0
+    assert build_inverted_index(ds, vocab=None).count() == 3

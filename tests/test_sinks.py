@@ -50,7 +50,10 @@ def test_rerun_after_full_commit(ray_session, tmp_path):
 
     manifest = write_partitioned(rd.from_arrow(t), out, by=["k"], num_partitions=8)
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
-    assert len(manifest) == 8 and manifest["rows"].sum() == 0  # all skipped
+    # ADVICE r4 contract: skipped-committed partitions report their TRUE
+    # row counts (sidecar), flagged skipped — not an ambiguous 0
+    assert len(manifest) == 8 and manifest["rows"].sum() == 500
+    assert manifest.loc[manifest["rows"] > 0, "skipped"].all()
 
     back = read_partitioned(out).to_pandas().sort_values(["k", "v"], ignore_index=True)
     want = t.to_pandas().sort_values(["k", "v"], ignore_index=True)
@@ -105,3 +108,24 @@ def test_resume_skips_committed_partitions(ray_session, tmp_path):
     back = read_partitioned(out).to_pandas().sort_values(["k", "v"], ignore_index=True)
     want = t.to_pandas().sort_values(["k", "v"], ignore_index=True)
     pd.testing.assert_frame_equal(back, want)
+
+
+def test_rerun_manifest_reports_committed_rows(ray_session, tmp_path):
+    """ADVICE r4: a rerun after full commit reports each committed
+    partition's true row count (sidecar) with skipped=True, rows int64."""
+    from pregel_ray.sinks import write_partitioned
+
+    t = _data()
+    out = str(tmp_path / "out")
+    m1 = write_partitioned(rd.from_arrow(t), out, by=["k"], num_partitions=8)
+    m2 = write_partitioned(rd.from_arrow(t), out, by=["k"], num_partitions=8)
+    assert m2["rows"].dtype == "int64"
+    assert m1["rows"].dtype == "int64"
+    nonempty = m1[m1["rows"] > 0]["partition"].tolist()
+    assert nonempty, "fixture should fill some partitions"
+    m2i = m2.set_index("partition")
+    m1i = m1.set_index("partition")
+    for p in m2i.index:
+        assert m2i.loc[p, "rows"] == m1i.loc[p, "rows"]
+    assert bool(m2i.loc[nonempty[0], "skipped"])
+    assert not bool(m1i.loc[nonempty[0], "skipped"])
