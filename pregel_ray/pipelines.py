@@ -420,12 +420,41 @@ def hits_scores(sf_dir: str, iters: int = 10) -> rd.Dataset:
 def maxprop_ranks(sf_dir: str) -> rd.Dataset:
     """(name, max_seen) — the REFERENCE's own example algorithm
     (max-value propagation with combiner max and vote-to-halt,
-    /root/reference/example/test-worker.lua:25-43, common.lua:23-39) run
-    through the PER-VERTEX compute API on the directed transcript graph,
-    values initialized to global name ranks. Converges to the max rank
-    over each vertex's ancestors-and-self; the SQL oracle unrolls the
-    same monotone relaxation (generous round count = identity past the
-    fixpoint, same trick as k-core)."""
+    /root/reference/example/test-worker.lua:25-43, common.lua:23-39) on
+    the directed transcript graph, values initialized to global name
+    ranks. Converges to the max rank over each vertex's
+    ancestors-and-self; the SQL oracle unrolls the same monotone
+    relaxation (generous round count = identity past the fixpoint, same
+    trick as k-core).
+
+    Runs on the VECTORIZED fast path (algorithms/maxprop.py); the
+    per-vertex compute-API version is kept as the reference-conformance
+    twin (`maxprop_ranks_compute_api`), pinned bit-identical by
+    tests/test_maxprop.py."""
+    from .algorithms.maxprop import MaxProp
+
+    ss, p, cfg = shardset(sf_dir, DIRECTED)
+    nm = _namemap(p, cfg)
+    kw = nm.lpa_init_kwargs()
+    algo = MaxProp(
+        init_values_ref=kw.get("init_labels_ref"),
+        init_values_path=kw.get("init_labels_path"),
+    )
+    res = Engine(ss, cfg).run(algo)
+
+    def _vals(t: pa.Table) -> pa.Table:
+        return pa.table({"vid": t["vid"], "max_seen": t["val"].cast(pa.int64())})
+
+    return nm.rename(
+        res.vertex_table().map_batches(_vals, batch_format="pyarrow"),
+        {"name": "vid"}, keep=["max_seen"],
+    )
+
+
+def maxprop_ranks_compute_api(sf_dir: str) -> rd.Dataset:
+    """Per-vertex compute-API twin of `maxprop_ranks` (the reference's
+    user-facing extension surface, row-wise by design — SURVEY §2.3 C5);
+    kept for conformance parity, not the fast path."""
     from .algorithms.compute_api import ComputeAlgorithm
 
     ss, p, cfg = shardset(sf_dir, DIRECTED)
