@@ -62,17 +62,37 @@ def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def _frames_stub(payload: bytes, n_frames: int, hw: int):
+    """Deterministic fake video decode: `n_frames` seeded frames drawn in
+    stream order from the payload digest (so frame k is the same
+    regardless of sampling stride). Replace with a pyav wrapper in
+    production."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    for _ in range(n_frames):
+        yield rng.integers(0, 256, (hw, hw, 3), dtype=np.uint8)
+
+
 class DecodeAndFeaturize:
     """Actor-pool stage: 'model' (here: projection matrix) loaded ONCE per
-    actor in __init__; per-batch work decodes and embeds."""
+    actor in __init__; per-batch work decodes and embeds.
 
-    def __init__(self, feat_dim: int = 16, resize_to: int = 32):
+    `codec` is the injection point for a real decoder: any picklable
+    callable ``(payload: bytes, width: int, height: int) -> uint8 HxWx3``
+    (e.g. a PIL/torchvision wrapper) drops in without touching the
+    pipeline — plumbing, batch sizing and output schema are codec-
+    agnostic. Default: the deterministic `_decode_stub` (no image libs in
+    this container). A decode failure must raise ValueError; the row is
+    emitted with decoded=False and a zero feature."""
+
+    def __init__(self, feat_dim: int = 16, resize_to: int = 32, codec=None):
         rng = np.random.default_rng(99)
         self.proj = rng.standard_normal((resize_to * resize_to * 3, feat_dim)).astype(
             np.float32
         )
         self.resize_to = resize_to
         self.feat_dim = feat_dim
+        self.codec = codec or _decode_stub
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         # nearest-neighbor resize, pure numpy (no image libs in container)
@@ -88,7 +108,7 @@ class DecodeAndFeaturize:
             t["payload"].to_pylist(), t["width"].to_pylist(), t["height"].to_pylist()
         ):
             try:
-                img = _decode_stub(pl, w, h)
+                img = np.asarray(self.codec(pl, w, h), dtype=np.uint8)
                 small = self._resize(img).astype(np.float32).ravel() / 255.0
                 feats.append(small @ self.proj)
                 ok.append(True)
@@ -106,15 +126,17 @@ class DecodeAndFeaturize:
 
 
 def media_features(media: rd.Dataset, concurrency: int = 2,
-                   batch_size: int = 16) -> rd.Dataset:
+                   batch_size: int = 16, codec=None) -> rd.Dataset:
     """The stateful decode→feature pipeline. Small batch_size: payload
-    bytes × batch × concurrency must fit the worker heap."""
+    bytes × batch × concurrency must fit the worker heap. `codec` swaps
+    in a real decoder (see DecodeAndFeaturize)."""
     return media.map_batches(
         DecodeAndFeaturize,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        fn_constructor_kwargs={"codec": codec},
     )
 
 
@@ -129,26 +151,22 @@ class FrameSampler:
     the fan-out shape a downstream per-frame featurizer consumes."""
 
     def __init__(self, every_k: int = 4, n_frames: int = 16,
-                 frame_hw: int = 16):
+                 frame_hw: int = 16, codec=None):
         self.every_k = every_k
         self.n_frames = n_frames
         self.hw = frame_hw
+        # injection point: ``(payload, n_frames, hw) -> iterable of uint8
+        # HxWx3 frames IN STREAM ORDER`` (a pyav wrapper in production)
+        self.codec = codec or _frames_stub
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, fidx, frames = [], [], []
         for mid, pl in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
-            seed = int.from_bytes(
-                hashlib.blake2b(pl, digest_size=8).digest(), "little"
-            )
-            rng = np.random.default_rng(seed)
-            # stub decode: all frames drawn in stream order so frame k is
-            # deterministic regardless of sampling stride
-            for k in range(self.n_frames):
-                frame = rng.integers(0, 256, (self.hw, self.hw, 3), dtype=np.uint8)
+            for k, frame in enumerate(self.codec(pl, self.n_frames, self.hw)):
                 if k % self.every_k == 0:
                     ids.append(mid)
                     fidx.append(k)
-                    frames.append(frame.tobytes())
+                    frames.append(np.asarray(frame, np.uint8).tobytes())
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -161,16 +179,19 @@ class FrameSampler:
 
 
 def frame_sample(media: rd.Dataset, every_k: int = 4, n_frames: int = 16,
-                 concurrency: int = 2, batch_size: int = 8) -> rd.Dataset:
+                 concurrency: int = 2, batch_size: int = 8,
+                 codec=None) -> rd.Dataset:
     """Video → sampled-frame rows (decode/sample in an actor pool; small
-    batch_size keeps payload bytes × batch × concurrency in worker heap)."""
+    batch_size keeps payload bytes × batch × concurrency in worker heap).
+    `codec` swaps in a real frame decoder (see FrameSampler)."""
     return media.map_batches(
         FrameSampler,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
-        fn_constructor_kwargs={"every_k": every_k, "n_frames": n_frames},
+        fn_constructor_kwargs={"every_k": every_k, "n_frames": n_frames,
+                               "codec": codec},
     )
 
 

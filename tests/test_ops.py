@@ -604,3 +604,71 @@ def test_keyword_search_empty_terms_is_vacuous_and(ray_session):
     assert sorted(keyword_search(ds, []).to_pandas()["doc_id"]) == [1, 2]
     assert build_inverted_index(ds, vocab=[]).count() == 0
     assert build_inverted_index(ds, vocab=None).count() == 3
+
+
+def _const_codec(payload: bytes, width: int, height: int):
+    """Injected 'real' codec for tests: constant image = first payload byte."""
+    import numpy as np
+    if not payload:
+        raise ValueError("empty media payload")
+    return np.full((height, width, 3), payload[0], dtype=np.uint8)
+
+
+def test_multimodal_codec_injection(ray_session):
+    """VERDICT r4 #8: a swapped-in codec changes decode output without
+    touching pipeline plumbing; frame codec likewise."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.multimodal import (frame_sample, media_features,
+                                           synth_media)
+
+    media = rd.from_arrow(synth_media(8))
+    default = media_features(media).to_pandas().set_index("media_id")
+    injected = media_features(media, codec=_const_codec).to_pandas().set_index(
+        "media_id"
+    )
+    assert injected["decoded"].all()
+    # same plumbing, different decode → different features
+    assert not np.allclose(
+        np.stack(default["feature"].to_numpy()),
+        np.stack(injected["feature"].to_numpy()),
+    )
+
+    def two_black_frames(payload, n_frames, hw):
+        for _ in range(2):
+            yield np.zeros((hw, hw, 3), np.uint8)
+
+    fs = frame_sample(media, every_k=1, codec=two_black_frames).to_pandas()
+    assert len(fs) == 2 * 8
+    assert all(set(b) == {0} for b in fs["frame"])
+
+
+def test_multimodal_large_payload_small_batches(ray_session):
+    """~10 MB payloads through the decode stage at batch_size=2: the
+    memory-aware sizing contract (payload x batch x concurrency bounded)
+    — completes and every row decodes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.multimodal import MEDIA_SCHEMA, media_features
+
+    n, mb = 6, 10 * 1024 * 1024
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "mime": pa.array(["image/png"] * n),
+            "payload": pa.array([rng.bytes(mb) for _ in range(n)],
+                                pa.large_binary()),
+            "width": pa.array(np.full(n, 64, np.int32)),
+            "height": pa.array(np.full(n, 64, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = media_features(
+        rd.from_arrow(t), concurrency=2, batch_size=2
+    ).to_pandas()
+    assert len(out) == n and out["decoded"].all()
