@@ -158,6 +158,8 @@ def run_bench() -> dict:
             ("dedup_minhash_verified", "dedup_minhash_verify"),
             ("dedup_clusters", "dedup_clusters"),
             ("ann_ivf_topk", "ann_ivf"),
+            ("doc_tfidf_top3", "tfidf"),
+            ("doc_top5_longest_per_lang", "grouped_topk"),
         ):
             t0 = time.monotonic()
             r = qs[name](sf_dir)

@@ -288,6 +288,29 @@ def error_next_click_asof(sf_dir: str) -> rd.Dataset:
                      right_cols={"ts": "click_ts"}, direction="forward")
 
 
+def error_click_asof_both(sf_dir: str) -> rd.Dataset:
+    """Backward AND forward as-of in one result, tagged by a `direction`
+    column ('backward' = most recent prior-or-simultaneous click,
+    'forward' = next-or-simultaneous) — the driver-gate consolidation of
+    the two single-direction queries (both stay for à-la-carte use)."""
+
+    def _tag(direction: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "direction", pa.array([direction] * t.num_rows, pa.string())
+            )
+
+        return _f
+
+    back = error_click_asof(sf_dir).map_batches(
+        _tag("backward"), batch_format="pyarrow"
+    )
+    fwd = error_next_click_asof(sf_dir).map_batches(
+        _tag("forward"), batch_format="pyarrow"
+    )
+    return back.union(fwd)
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -56,6 +56,10 @@ def main() -> int:
     import __ray_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # 50-query driver budget: merged-away variants are still value-pinned
+    # locally (x_-prefixed; __ray_entry__.extra_queries docstring)
+    qs.update(entry.extra_queries())
+    oracles.update(entry.extra_oracle_sql())
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
