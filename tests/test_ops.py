@@ -672,3 +672,30 @@ def test_multimodal_large_payload_small_batches(ray_session):
         rd.from_arrow(t), concurrency=2, batch_size=2
     ).to_pandas()
     assert len(out) == n and out["decoded"].all()
+
+
+def test_jaccard_verify_join_path_matches_broadcast(ray_session, docs_pd):
+    """The above-cap bucketed-join verify path (with the r5 batch-local
+    shingle cache) is value-identical to the broadcast path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+
+    base = docs_pd.head(150).copy()
+    near = base.head(30).copy()
+    near["doc_id"] = near["doc_id"] + 50_000
+    near["text"] = near["text"].str.replace(r"^\w+", "qqq", n=1, regex=True)
+    docs = rd.from_arrow(pa.Table.from_pandas(pd.concat([base, near]),
+                                              preserve_index=False))
+    cand = minhash_lsh_candidates(docs, num_perm=32, bands=8)
+    bcast = (
+        ngram_jaccard_verify(docs, cand, threshold=0.5)
+        .to_pandas().sort_values(["a", "b"], ignore_index=True)
+    )
+    joined = (
+        ngram_jaccard_verify(docs, cand, threshold=0.5, broadcast_pair_cap=0)
+        .to_pandas().sort_values(["a", "b"], ignore_index=True)
+    )
+    assert len(bcast) > 0
+    pd.testing.assert_frame_equal(bcast, joined)
