@@ -498,7 +498,7 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 3, n_docs: int | None = None) -> 
     corpus-vocabulary-sized — never broadcast) → grouped top-k per doc.
     Every stage is the bounded-shuffle pattern; nothing is
     corpus-bounded in one place."""
-    from ..agg import bucketed_join, distinct, group_count
+    from ..agg import bucketed_join, group_count
 
     def _explode(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ").combine_chunks()
@@ -511,20 +511,23 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 3, n_docs: int | None = None) -> 
             }
         )
 
-    # materialize once (feeds tf + df) and give the empty corpus a typed
-    # empty result instead of schema-less datasets downstream
-    exploded = docs.map_batches(_explode, batch_format="pyarrow").materialize()
-    if exploded.count() == 0:
+    exploded = docs.map_batches(_explode, batch_format="pyarrow")
+    # materialize tf (feeds both the join and df) and give the empty
+    # corpus a typed empty result instead of schema-less datasets
+    # downstream. df derives FROM tf: tf's keys are already the distinct
+    # (doc_id, token) pairs, so counting tf rows per token IS the
+    # document frequency — one shuffle over the (much smaller) tf table
+    # replaces a distinct + count over the full exploded token stream
+    # (r5; at corpus scale the distinct was as large as tf itself).
+    tf = group_count(exploded, ["doc_id", "token"], alias="tf").materialize()
+    if tf.count() == 0:
         return rd.from_arrow(
             pa.schema(
                 [("doc_id", pa.int64()), ("token", pa.string()),
                  ("score_ppm", pa.int64())]
             ).empty_table()
         )
-    tf = group_count(exploded, ["doc_id", "token"], alias="tf")
-    dft = group_count(
-        distinct(exploded, ["token", "doc_id"]), ["token"], alias="df"
-    )
+    dft = group_count(tf, ["token"], alias="df")
     n = n_docs if n_docs is not None else docs.count()
 
     joined = bucketed_join(tf, dft, ["token"])
