@@ -125,22 +125,32 @@ def run_bench() -> dict:
     step_durs = [m.duration for m in res.history if m.superstep > 0]
     median_step = statistics.median(step_durs) if step_durs else 0.0
 
-    t0 = time.monotonic()
-    shards_u = build_shards(edges, verts, f"{work}/shards_u", cfg, variant=UNDIRECTED)
-    eng_u = Engine(shards_u, cfg)  # shared: cc+lpa reuse one pool
-    rcc = eng_u.run(ConnectedComponents())
-    times["cc"] = time.monotonic() - t0
+    # GRAFT_STAGES=pagerank: build+pagerank only — the scaling criterion
+    # is PageRank throughput, so scaling legs can skip the other stages
+    stages = os.environ.get("GRAFT_STAGES", "all")
 
     t0 = time.monotonic()
-    eng_u.run(LabelPropagation(max_iters=10))
-    times["lpa"] = time.monotonic() - t0
-    eng_u.close()
+    if stages == "pagerank":
+        tri = 0
+        times["cc"] = times["lpa"] = times["triangles"] = 0.0
+        shards_u = None
+    else:
+        shards_u = build_shards(edges, verts, f"{work}/shards_u", cfg, variant=UNDIRECTED)
+    if shards_u is not None:
+        eng_u = Engine(shards_u, cfg)  # shared: cc+lpa reuse one pool
+        rcc = eng_u.run(ConnectedComponents())
+        times["cc"] = time.monotonic() - t0
 
-    t0 = time.monotonic()
-    pv = triangle_counts(edges, num_buckets=cfg.num_buckets,
-                         broadcast_vertex_threshold=cfg.broadcast_vertex_threshold).materialize()
-    tri = triangle_total(pv)
-    times["triangles"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        eng_u.run(LabelPropagation(max_iters=10))
+        times["lpa"] = time.monotonic() - t0
+        eng_u.close()
+
+        t0 = time.monotonic()
+        pv = triangle_counts(edges, num_buckets=cfg.num_buckets,
+                             broadcast_vertex_threshold=cfg.broadcast_vertex_threshold).materialize()
+        tri = triangle_total(pv)
+        times["triangles"] = time.monotonic() - t0
 
     # Op-family rows (round-4 judge task #8): the dedup and ANN pipelines
     # measured like the engine stages so ops/ regressions get caught too.

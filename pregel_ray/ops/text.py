@@ -312,7 +312,11 @@ def build_inverted_index(
 
     # `is not None`: vocab=[] means "prune to nothing" (empty index), NOT
     # "build the full unpruned corpus index" — only vocab=None means that
-    vocab_arr = pa.array(sorted(set(vocab))) if vocab is not None else None
+    # pa.string() type: an empty vocab otherwise infers a null-typed
+    # value_set, which is_in rejects against the string token column
+    vocab_arr = (
+        pa.array(sorted(set(vocab)), pa.string()) if vocab is not None else None
+    )
 
     def _posts(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ").combine_chunks()
