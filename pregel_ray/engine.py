@@ -232,6 +232,29 @@ class RunResult:
         self.vertex_table(columns).write_parquet(out_dir)
 
 
+def _concat_state_tables(outs: list[pa.Table]) -> pa.Table:
+    """Concat per-part vertex tables.
+
+    permissive: per-part decoded object columns can infer different types
+    (an all-None part infers `null` vs another's float64) — latent until
+    block packing co-located such parts (surfaced when the per-step
+    repartition stopped reshuffling state rows). Permissive promotion
+    also allows int64→float64 unification, which silently corrupts ints
+    > 2^53 — fail fast if that ever happens (unit-tested directly:
+    tests/test_compute_api.py::test_state_concat_int_widening_guard)."""
+    merged = pa.concat_tables(outs, promote_options="permissive")
+    for f in merged.schema:
+        if pa.types.is_floating(f.type) and any(
+            pa.types.is_integer(o.schema.field(f.name).type) for o in outs
+        ):
+            raise TypeError(
+                f"state column {f.name!r}: integer parts were widened to "
+                f"{f.type} during concat (lossy above 2^53); unify the "
+                "per-part dtypes in the algorithm's state instead"
+            )
+    return merged
+
+
 def state_to_vertices(
     state: rd.Dataset, P: int, columns: list[str] | None = None, algorithm=None
 ) -> rd.Dataset:
@@ -254,23 +277,7 @@ def state_to_vertices(
             outs.append(pa.table(d))
         if not outs:
             return pa.table({"vid": pa.array([], pa.int64())})
-        # permissive: per-part decoded object columns can infer different
-        # types (an all-None part infers `null` vs another's float64) —
-        # latent until block packing co-located such parts (surfaced when
-        # the per-step repartition stopped reshuffling state rows).
-        # Permissive promotion also allows int64→float64 unification, which
-        # silently corrupts ints > 2^53 — fail fast if that ever happens.
-        merged = pa.concat_tables(outs, promote_options="permissive")
-        for f in merged.schema:
-            if pa.types.is_floating(f.type) and any(
-                pa.types.is_integer(o.schema.field(f.name).type) for o in outs
-            ):
-                raise TypeError(
-                    f"state column {f.name!r}: integer parts were widened to "
-                    f"{f.type} during concat (lossy above 2^53); unify the "
-                    "per-part dtypes in the algorithm's state instead"
-                )
-        return merged
+        return _concat_state_tables(outs)
 
     return state.filter(lambda r: r["kind"] == 0).map_batches(_expand, batch_format="pyarrow")
 

@@ -228,3 +228,63 @@ def test_outbox_not_duplicated_on_hub_split(ray_session, tmp_path):
         assert got[gs.vid_of[d]] == n, (d, got[gs.vid_of[d]], n)
     pd.testing.assert_frame_equal(split, plain)
     pd.testing.assert_frame_equal(split_a, plain)
+
+
+def test_state_concat_int_widening_guard(ray_session):
+    """ADVICE r4: if per-part decoded state columns infer int64 in one
+    part and float64 in another, the state concat must raise (permissive
+    promotion would silently widen ints — lossy above 2^53); null+int
+    and null+float mixes must still promote cleanly, and the pipeline
+    path must surface the failure."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pregel_ray.chunks import pack
+    from pregel_ray.engine import _concat_state_tables, state_to_vertices
+
+    big = (1 << 53) + 1
+    ti = pa.table({"vid": pa.array([0], pa.int64()), "value": pa.array([7], pa.int64())})
+    tb = pa.table({"vid": pa.array([0], pa.int64()), "value": pa.array([big], pa.int64())})
+    tf = pa.table({"vid": pa.array([1], pa.int64()), "value": pa.array([0.5], pa.float64())})
+    tn = pa.table({"vid": pa.array([2], pa.int64()), "value": pa.array([None], pa.null())})
+
+    # small ints widen SILENTLY in permissive concat — our guard catches
+    # the type drift before it reaches a consumer
+    with pytest.raises(TypeError, match="widened"):
+        _concat_state_tables([ti, tf])
+    # ints above 2^53 are refused by Arrow itself (lossless-cast check)
+    with pytest.raises(Exception, match="not in range|widened"):
+        _concat_state_tables([tb, tf])
+    # legit promotions still work, values exact
+    m = _concat_state_tables([tb, tn])
+    assert m["value"].to_pylist() == [big, None]
+    assert pa.types.is_integer(m.schema.field("value").type)
+    m2 = _concat_state_tables([tf, tn])
+    assert pa.types.is_floating(m2.schema.field("value").type)
+
+    # pipeline path: the same mixed parts through state_to_vertices raise
+    def _state(blobs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "kind": pa.array([0] * len(blobs), pa.int8()),
+                    "part": pa.array(list(range(len(blobs))), pa.int32()),
+                    "blob": pa.array(blobs, pa.large_binary()),
+                }
+            )
+        )
+
+    mixed = _state(
+        [pack({"value": np.array([big, 2], np.int64)}),
+         pack({"value": np.array([0.5], np.float64)})]
+    )
+    with pytest.raises(Exception):
+        state_to_vertices(mixed, P=2).to_pandas()
+
+    ok = _state(
+        [pack({"value": np.array([big], np.int64)}),
+         pack({"value": np.array([7], np.int64)})]
+    )
+    out = state_to_vertices(ok, P=2).to_pandas()
+    assert sorted(out["value"].tolist()) == [7, big]
