@@ -1195,7 +1195,13 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         return _read_parquet(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "text"])
 
+    def dup_spans(sf_dir):
+        from pregel_ray.ops.dedup import duplicate_spans
+
+        return duplicate_spans(_docs(sf_dir), n=5, min_docs=2)
+
     return {
+        "x_doc_dup_spans": dup_spans,
         "x_doc_token_counts_ws": lambda sf: token_counts(_docs(sf)),
         "x_doc_token_counts_re": lambda sf: regex_token_counts(_docs(sf)),
         "x_events_error_click_asof_back": lambda sf: R.error_click_asof(sf),
@@ -1208,6 +1214,17 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for extra_queries() (same exactness contract)."""
     return {
+        # substring-level dedup: 5-token spans in >=2 distinct docs
+        "x_doc_dup_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS g(i))
+            SELECT gram, COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS first_doc
+            FROM grams GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2""",
         "x_doc_token_counts_ws": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents""",

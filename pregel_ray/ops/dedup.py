@@ -15,6 +15,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -665,3 +666,64 @@ def embedding_near_dups(
         _pairs_in_bucket,
     )
     return grouped_apply(pairs, ["a", "b"], _dedup)
+
+
+def duplicate_spans(
+    docs: rd.Dataset, n: int = 5, min_docs: int = 2, num_buckets: int = 128
+) -> rd.Dataset:
+    """(gram, n_docs, first_doc): whitespace-token n-gram SPANS appearing
+    in ≥ `min_docs` distinct documents — substring-level dedup (the
+    "duplicated training-data span" detector of Lee et al. 2021, public
+    method): cross-document repeated spans are memorization / boilerplate
+    candidates that document-level dedup misses.
+
+    Shape: per-batch vectorized gram construction (n-1 shifted string
+    concats over the flat token array — no per-row Python), batch-local
+    (gram, doc_id) dedup (map-side combine), bucketed global distinct,
+    then one grouped fold per gram counts distinct docs + takes the
+    minimum doc id. Only distinct (gram, doc) pairs ever shuffle; the
+    fold output is ≤ |distinct grams| rows. At 100 TB the gram table is
+    the big object and it stays bucketed end-to-end."""
+    from ..agg import distinct, grouped_apply
+
+    def _grams(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = pc.list_flatten(toks).to_pandas()  # str Series, C-level ops
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+        if len(flat) < n:
+            return empty
+        # gram at flat position i = tokens i..i+n-1, valid iff the whole
+        # window stays inside one document
+        gram = flat[: len(flat) - n + 1].reset_index(drop=True)
+        for k in range(1, n):
+            gram = gram + " " + flat[k: len(flat) - n + 1 + k].reset_index(drop=True)
+        valid = parent[: len(flat) - n + 1] == parent[n - 1:]
+        if not valid.any():
+            return empty
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "gram": pa.array(gram.to_numpy()[valid], pa.string()),
+                "doc_id": pa.array(doc_ids[parent[: len(flat) - n + 1][valid]]),
+            }
+        )
+        # batch-local (gram, doc) dedup: map-side combine before the shuffle
+        return out.group_by(["gram", "doc_id"]).aggregate([])
+
+    pairs = distinct(
+        docs.map_batches(_grams, batch_format="pyarrow"), ["gram", "doc_id"],
+        num_buckets=num_buckets,
+    )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gram", sort=False).agg(
+            n_docs=("doc_id", "nunique"), first_doc=("doc_id", "min")
+        )
+        agg = agg[agg["n_docs"] >= min_docs].reset_index()
+        return agg
+
+    return grouped_apply(pairs, ["gram"], _fold, num_buckets=num_buckets)

@@ -699,3 +699,42 @@ def test_jaccard_verify_join_path_matches_broadcast(ray_session, docs_pd):
     )
     assert len(bcast) > 0
     pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_duplicate_spans_planted(ray_session):
+    """Substring-level dedup: planted shared 5-token spans are found with
+    exact doc counts / first-doc ids; unique text yields nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import duplicate_spans
+
+    boiler = "all rights reserved contact us today"  # 6 tokens → 2 grams
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha beta {boiler} gamma",
+                    f"{boiler} delta epsilon zeta",
+                    "totally unique words with no overlap at all here",
+                    "short text",
+                ]
+            ),
+        }
+    )
+    out = (
+        duplicate_spans(rd.from_arrow(t), n=5, min_docs=2)
+        .to_pandas().sort_values("gram", ignore_index=True)
+    )
+    assert out["gram"].tolist() == [
+        "all rights reserved contact us",
+        "rights reserved contact us today",
+    ]
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["first_doc"].tolist() == [1, 1]
+
+    none = duplicate_spans(
+        rd.from_arrow(t.slice(2)), n=5, min_docs=2
+    ).to_pandas()
+    assert len(none) == 0
