@@ -418,7 +418,14 @@ def _pool_size(engine) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(1, min(engine.shards.P, cpus - 2))
+    try:
+        n_nodes = max(1, sum(1 for n in ray.nodes() if n.get("Alive")))
+    except Exception:
+        n_nodes = 1
+    # per-node ceiling: the kernels are bandwidth-bound, extra workers on
+    # one bus only add O(W²) exchange (config.actor_workers_per_node)
+    cap = max(1, engine.cfg.actor_workers_per_node) * n_nodes
+    return max(1, min(engine.shards.P, cpus - 2, cap))
 
 
 def _get_pool(engine, W: int):

@@ -79,10 +79,19 @@ class EngineConfig:
     # the streaming executor's spill/backpressure for latency, so prefer
     # it when per-partition state+shards fit worker heaps.
     executor: str = "dataset"
-    # Actor-executor pool size. None → min(num_parts, cluster CPUs - 2)
-    # (two CPUs stay free so shard loads / checkpoint writes / mutation
-    # rebuilds — plain Ray tasks — can run beside the pinned pool).
+    # Actor-executor pool size. None → min(num_parts, cluster CPUs - 2,
+    # actor_workers_per_node × alive nodes). Two CPUs stay free so shard
+    # loads / checkpoint writes / mutation rebuilds — plain Ray tasks —
+    # can run beside the pinned pool.
     actor_workers: int | None = None
+    # Per-NODE ceiling for the default pool size: the scatter/apply
+    # kernels are memory-bandwidth bound, so beyond ~10 single-CPU
+    # workers per node extra workers only add O(W²) peer exchange —
+    # measured r5 @32 cpus, one node: W=10 beats W=30 by 2.2× at sf0.1
+    # (3.8 vs 8.5 s) and 2.1× at sf2.0 (16.1 vs 34.0 s); W=cpus-2 was
+    # never the optimum at any scale (BENCH/BASELINE.md). On a multi-node
+    # cluster the cap scales with the node count (per-node buses).
+    actor_workers_per_node: int = 10
     # BSP loop
     max_supersteps: int = 200
     checkpoint_interval: int = 0  # 0 = only final; K = every K supersteps
