@@ -137,12 +137,9 @@ def encode_vertices(
         # batch-local distinct before the global one (map-side combine)
         return pa.table({"name": pc.unique(n)})
 
-    from .agg import distinct as _distinct
-
     name_src = pairs.map_batches(_names, batch_format="pyarrow")
     if extra_names:
         name_src = name_src.union(rd.from_arrow(pa.table({"name": pa.array(extra_names)})))
-    distinct = _distinct(name_src, ["name"])
 
     def _part(batch: pa.Table) -> pa.Table:
         batch = batch.select(["name"])
@@ -150,7 +147,14 @@ def encode_vertices(
         return batch.append_column("part", pa.array(part))
 
     def _assign(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("name", kind="mergesort").reset_index(drop=True)
+        # every copy of a name hashes to the same part, so the GLOBAL
+        # dedup happens here — one shuffle total (r5: the separate
+        # distinct stage was a second full exchange of the same names)
+        g = (
+            g.drop_duplicates("name")
+            .sort_values("name", kind="mergesort")
+            .reset_index(drop=True)
+        )
         part = int(g["part"].iloc[0])
         return pa.table(
             {
@@ -161,7 +165,7 @@ def encode_vertices(
         )
 
     return (
-        distinct.map_batches(_part, batch_format="pyarrow")
+        name_src.map_batches(_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_assign, batch_format="pandas")
     )
