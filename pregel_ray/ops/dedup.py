@@ -347,7 +347,10 @@ def dedup_clusters(
     from ..engine import Engine
     from ..graph import UNDIRECTED, build_shards
 
-    cfg = EngineConfig(num_parts=num_parts)
+    # actor executor: the pair graph is tiny relative to the corpus, and
+    # the raw-actor loop removes the ~0.2 s/step Dataset plan-build floor
+    # (bit-identical semantics — tests/test_actor_loop.py)
+    cfg = EngineConfig(num_parts=num_parts, executor="actors")
     workdir = workdir or tempfile.mkdtemp(prefix="dedup_clusters_")
 
     def _fmt(x: np.ndarray) -> np.ndarray:
