@@ -220,3 +220,27 @@ def test_mutations_actor_parity(ray_session, tmp_path):
     assert vals[V[4]] == 1.0
     new_vid = (set(vals) - set(V.values())).pop()
     assert vals[new_vid] == 2.0
+
+
+def test_pool_size_per_node_cap(ray_session):
+    """Default pool = min(P, cpus-2, per_node_cap × nodes); explicit
+    actor_workers still overrides (r5 sweep: BENCH/BASELINE.md)."""
+    from types import SimpleNamespace
+
+    from pregel_ray.actor_loop import _pool_size
+
+    def eng(P, workers=None, cap=10):
+        return SimpleNamespace(
+            cfg=SimpleNamespace(actor_workers=workers, actor_workers_per_node=cap),
+            shards=SimpleNamespace(P=P),
+        )
+
+    import ray as _r
+
+    cpus = int(_r.cluster_resources().get("CPU", 4))
+    # cap=1 on one node → exactly 1 worker regardless of cpus
+    assert _pool_size(eng(64, cap=1)) == 1
+    # huge cap → falls back to cpus-2 (bounded by P)
+    assert _pool_size(eng(64, cap=10_000)) == max(1, min(64, cpus - 2))
+    # explicit actor_workers wins over the cap
+    assert _pool_size(eng(64, workers=3, cap=1)) == 3
