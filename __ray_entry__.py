@@ -1200,8 +1200,25 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return duplicate_spans(_docs(sf_dir), n=5, min_docs=2)
 
+    def decontam(sf_dir):
+        # probe "benchmark" = docs 1-3 of the corpus itself (deterministic,
+        # lets the SQL oracle derive the same probe grams); real use passes
+        # external benchmark texts
+        import pyarrow.dataset as pds
+
+        from pregel_ray.ops.dedup import contaminated_docs
+
+        probes = (
+            pds.dataset(f"{sf_dir}/documents.parquet", format="parquet")
+            .to_table(columns=["doc_id", "text"],
+                      filter=pds.field("doc_id").isin([1, 2, 3]))
+            .sort_by("doc_id")
+        )
+        return contaminated_docs(_docs(sf_dir), probes["text"].to_pylist(), n=5)
+
     return {
         "x_doc_dup_spans": dup_spans,
+        "x_doc_decontaminate": decontam,
         "x_doc_token_counts_ws": lambda sf: token_counts(_docs(sf)),
         "x_doc_token_counts_re": lambda sf: regex_token_counts(_docs(sf)),
         "x_events_error_click_asof_back": lambda sf: R.error_click_asof(sf),
@@ -1225,6 +1242,20 @@ def extra_oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS first_doc
             FROM grams GROUP BY gram
             HAVING COUNT(DISTINCT doc_id) >= 2""",
+        # decontamination: every doc sharing a 5-gram with the probe docs
+        "x_doc_decontaminate": """
+            WITH pt AS (SELECT string_split(text, ' ') AS t FROM documents
+                        WHERE doc_id IN (1, 2, 3)),
+            pg AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+                   FROM pt, UNNEST(generate_series(1, len(t) - 4)) AS g(i)),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+            grams AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+                      FROM toks,
+                           UNNEST(generate_series(1, len(t) - 4)) AS g(i))
+            SELECT doc_id, COUNT(*) AS n_hits, MIN(gram) AS example_gram
+            FROM grams WHERE gram IN (SELECT gram FROM pg)
+            GROUP BY doc_id""",
         "x_doc_token_counts_ws": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents""",

@@ -730,3 +730,74 @@ def duplicate_spans(
         return agg
 
     return grouped_apply(pairs, ["gram"], _fold, num_buckets=num_buckets)
+
+
+def contaminated_docs(
+    docs: rd.Dataset, probe_texts: list[str], n: int = 5
+) -> rd.Dataset:
+    """(doc_id, n_hits, example_gram): documents sharing at least one
+    whitespace-token n-gram with any probe text — benchmark/test-set
+    DECONTAMINATION (flag-and-drop before training; the n-gram-overlap
+    method of the public GPT-3/PaLM decontamination appendices).
+
+    The probe set is small by construction (a benchmark), so it
+    broadcasts: probe grams are built once per actor in ``__init__``
+    (a set — O(1) membership), and the corpus scan is one stateless
+    actor-pool pass emitting per-doc hit counts; nothing shuffles but
+    the (rare) hits. `example_gram` is the lexicographically smallest
+    matching gram (deterministic evidence row).
+
+    Scale note: at 100 TB the corpus side stays a single map; if the
+    probe set ever outgrows worker heaps, switch to `duplicate_spans`
+    over the union with a side tag — same gram machinery, bucketed."""
+
+    class _Scan:
+        def __init__(self, probes: tuple[str, ...], k: int):
+            grams = set()
+            for p in probes:
+                toks = p.split(" ")
+                for i in range(max(0, len(toks) - k + 1)):
+                    grams.add(" ".join(toks[i : i + k]))
+            self.grams = grams
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t["text"], " ").combine_chunks()
+            flat = pc.list_flatten(toks).to_pandas()
+            parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            k = self.k
+            ids, hits, ex = [], [], []
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(flat) >= k:
+                gram = flat[: len(flat) - k + 1].reset_index(drop=True)
+                for j in range(1, k):
+                    gram = gram + " " + flat[j: len(flat) - k + 1 + j].reset_index(drop=True)
+                valid = parent[: len(flat) - k + 1] == parent[k - 1:]
+                gv = gram.to_numpy()[valid]
+                pv = parent[: len(flat) - k + 1][valid]
+                isin = np.fromiter((g in self.grams for g in gv), bool, len(gv))
+                if isin.any():
+                    hit_docs = pv[isin]
+                    hit_grams = gv[isin]
+                    order = np.lexsort((hit_grams, hit_docs))
+                    hd, hg = hit_docs[order], hit_grams[order]
+                    first = np.concatenate(([True], hd[1:] != hd[:-1]))
+                    starts = np.flatnonzero(first)
+                    counts = np.diff(np.concatenate((starts, [len(hd)])))
+                    ids = doc_ids[hd[starts]].tolist()
+                    hits = counts.tolist()
+                    ex = hg[starts].tolist()  # lexsorted → min gram per doc
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_hits": pa.array(hits, pa.int64()),
+                    "example_gram": pa.array(ex, pa.string()),
+                }
+            )
+
+    return docs.map_batches(
+        _Scan,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"probes": tuple(probe_texts), "k": n},
+        concurrency=2,
+    )

@@ -738,3 +738,38 @@ def test_duplicate_spans_planted(ray_session):
         rd.from_arrow(t.slice(2)), n=5, min_docs=2
     ).to_pandas()
     assert len(none) == 0
+
+
+def test_contaminated_docs_planted(ray_session):
+    """Decontamination: docs sharing a 5-gram with a probe are flagged
+    with exact positional hit counts and the lexicographically smallest
+    matching gram; clean docs are not flagged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import contaminated_docs
+
+    probe = "the quick brown fox jumps over the lazy dog"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"intro {probe} outro",          # many overlapping grams
+                    "the quick brown fox jumps",      # exactly one 5-gram
+                    "quick brown fox walks slowly home today",  # no 5-gram hit
+                    "completely unrelated text with different words entirely",
+                ]
+            ),
+        }
+    )
+    out = (
+        contaminated_docs(rd.from_arrow(t), [probe], n=5)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    # doc 1 contains probe verbatim → all 5 of the probe's 5-grams
+    assert out["n_hits"].tolist() == [5, 1]
+    assert out["example_gram"].iloc[1] == "the quick brown fox jumps"
+    # empty probe list flags nothing
+    assert contaminated_docs(rd.from_arrow(t), [], n=5).count() == 0
