@@ -1216,9 +1216,15 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         )
         return contaminated_docs(_docs(sf_dir), probes["text"].to_pylist(), n=5)
 
+    def rep_stats(sf_dir):
+        from pregel_ray.ops.text import repetition_stats
+
+        return repetition_stats(_docs(sf_dir), n=3)
+
     return {
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
+        "x_doc_repetition": rep_stats,
         "x_doc_token_counts_ws": lambda sf: token_counts(_docs(sf)),
         "x_doc_token_counts_re": lambda sf: regex_token_counts(_docs(sf)),
         "x_events_error_click_asof_back": lambda sf: R.error_click_asof(sf),
@@ -1256,6 +1262,19 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_hits, MIN(gram) AS example_gram
             FROM grams WHERE gram IN (SELECT gram FROM pg)
             GROUP BY doc_id""",
+        # duplicated-3-gram repetition ratio (Gopher-style), integer ppm
+        "x_doc_repetition": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                      FROM toks,
+                           UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+            d AS (SELECT doc_id, gram, COUNT(*) AS c
+                  FROM grams GROUP BY doc_id, gram)
+            SELECT doc_id, SUM(c) AS n_grams,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000
+                       // SUM(c) AS rep_ppm
+            FROM d GROUP BY doc_id""",
         "x_doc_token_counts_ws": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents""",

@@ -590,3 +590,55 @@ def vocab_topk(docs: rd.Dataset, k: int = 50) -> rd.Dataset:
         .groupby("__g")
         .map_groups(arrow_groups(_final), batch_format="pandas")
     )
+
+
+def repetition_stats(docs: rd.Dataset, n: int = 3) -> rd.Dataset:
+    """(doc_id, n_grams, rep_ppm): fraction of a document's n-gram
+    positions whose gram occurs more than once WITHIN the document —
+    the duplicated-n-gram repetition filter of the public
+    Gopher/MassiveText quality heuristics (repetitive boilerplate and
+    decoding loops score high). Integer ppm (floor) so the DuckDB
+    oracle is value-exact. Pure map — no shuffle at any scale. Docs
+    with fewer than n tokens have no grams and no row."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = pc.list_flatten(toks).to_pandas()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_grams": pa.array([], pa.int64()),
+             "rep_ppm": pa.array([], pa.int64())}
+        )
+        if len(flat) < n:
+            return empty
+        gram = flat[: len(flat) - n + 1].reset_index(drop=True)
+        for k in range(1, n):
+            gram = gram + " " + flat[k: len(flat) - n + 1 + k].reset_index(drop=True)
+        valid = parent[: len(flat) - n + 1] == parent[n - 1:]
+        if not valid.any():
+            return empty
+        gv = gram.to_numpy()[valid]
+        pv = parent[: len(flat) - n + 1][valid]
+        order = np.lexsort((gv, pv))
+        gs, ps = gv[order], pv[order]
+        # run lengths of equal (doc, gram); positions in runs >1 are dups
+        new_run = np.concatenate(([True], (ps[1:] != ps[:-1]) | (gs[1:] != gs[:-1])))
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        dup_pos = run_len[run_id] > 1
+        n_docs = t.num_rows
+        total = np.bincount(ps, minlength=n_docs).astype(np.int64)
+        dups = np.bincount(ps[dup_pos], minlength=n_docs).astype(np.int64)
+        has = total > 0
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[has]
+        tot_h, dup_h = total[has], dups[has]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_grams": pa.array(tot_h),
+                "rep_ppm": pa.array((dup_h * 1_000_000) // tot_h),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")

@@ -773,3 +773,31 @@ def test_contaminated_docs_planted(ray_session):
     assert out["example_gram"].iloc[1] == "the quick brown fox jumps"
     # empty probe list flags nothing
     assert contaminated_docs(rd.from_arrow(t), [], n=5).count() == 0
+
+
+def test_repetition_stats_known_values(ray_session):
+    """Repetition ratio: hand-computed duplicated-3-gram fractions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c a b c a b",   # 6 grams: abc,bca,cab,abc,bca,cab → all dup
+                    "one two three four five",  # 3 grams, all unique
+                    "x y",               # < 3 tokens → no row
+                ]
+            ),
+        }
+    )
+    out = (
+        repetition_stats(rd.from_arrow(t), n=3)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_grams"].tolist() == [6, 3]
+    assert out["rep_ppm"].tolist() == [1_000_000, 0]
