@@ -157,9 +157,9 @@ def run_bench() -> dict:
     # They run the exact driver-gate workloads over the sf dir's documents/
     # embeddings tables (present at the driver scales; the synthesized
     # transcript-only fixtures above sf0.1 skip them).
-    if os.path.exists(f"{sf_dir}/documents.parquet") and os.path.exists(
-        f"{sf_dir}/embeddings.parquet"
-    ):
+    if stages != "pagerank" and os.path.exists(
+        f"{sf_dir}/documents.parquet"
+    ) and os.path.exists(f"{sf_dir}/embeddings.parquet"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import __ray_entry__ as _entry
 
@@ -229,6 +229,9 @@ def run_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
                    GRAFT_EXECUTOR=executor)
+        # scaling criterion = PageRank throughput; legs skip the other
+        # stages unless the caller overrides GRAFT_STAGES explicitly
+        env.setdefault("GRAFT_STAGES", "pagerank")
         if executor == "actors" and "GRAFT_ACTOR_WORKERS" not in os.environ:
             # pool = cpus/2 on BOTH legs so the engine's parallelism ratio
             # equals the CPU ratio — the default (cpus-2) would give the
