@@ -1221,6 +1221,25 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return repetition_stats(_docs(sf_dir), n=3)
 
+    def pack(sf_dir):
+        from pregel_ray.ops.pack import pack_sequences
+
+        return pack_sequences(_docs(sf_dir), seq_len=512)
+
+    def shards(sf_dir):
+        from pregel_ray.ops.pack import shuffle_shards
+
+        return shuffle_shards(_docs(sf_dir), num_shards=8)
+
+    def knn(sf_dir):
+        from pregel_ray.ops.ann import knn_graph
+
+        return knn_graph(
+            _read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]),
+            k=5,
+        )
+
     return {
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
@@ -1231,6 +1250,9 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_events_error_next_click_asof": lambda sf: R.error_next_click_asof(sf),
         "x_supplier_nation_rollup": lambda sf: R.supplier_nation_rollup(sf),
         "x_lineitem_quantity_quantiles": lambda sf: R.lineitem_quantity_quantiles(sf),
+        "x_doc_pack_512": pack,
+        "x_doc_shuffle_shards": shards,
+        "x_emb_knn_graph": knn,
     }
 
 
@@ -1311,4 +1333,46 @@ def extra_oracle_sql() -> dict[str, str]:
                  qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille)
             SELECT q.q_permille, s.value
             FROM qs q JOIN s ON s.rn = (s.n - 1) * q.q_permille // 1000 + 1""",
+        # concat-and-chunk sequence packing: docs concatenated in doc_id
+        # order into one token stream, chunked into 512-token sequences;
+        # one row per (doc, sequence) overlap — all-integer arithmetic
+        "x_doc_pack_512": """
+            WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok
+                       FROM documents),
+            c AS (SELECT doc_id, ntok,
+                    CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS g0
+                  FROM t),
+            s AS (SELECT doc_id, ntok, g0,
+                    UNNEST(generate_series(g0 // 512,
+                                           (g0 + ntok - 1) // 512)) AS seq_id
+                  FROM c WHERE ntok > 0)
+            SELECT doc_id, seq_id,
+                   GREATEST(g0, seq_id * 512) - g0 AS doc_start,
+                   GREATEST(g0, seq_id * 512) - seq_id * 512 AS seq_start,
+                   LEAST(g0 + ntok, (seq_id + 1) * 512)
+                       - GREATEST(g0, seq_id * 512) AS n_tokens
+            FROM s""",
+        # deterministic global shuffle + sharding (md5 order, hash shards)
+        "x_doc_shuffle_shards": """
+            WITH h AS (SELECT doc_id,
+                              md5_number_lower(CAST(doc_id AS VARCHAR)) AS hv
+                       FROM documents)
+            SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                      ORDER BY hv, doc_id) - 1 AS pos
+            FROM h""",
+        # exact k-NN graph (gate: exact below 2M vectors; IVF above)
+        "x_emb_knn_graph": """
+            WITH sims AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 6) AS cos
+                  FROM embeddings a JOIN embeddings b
+                    ON a.vec_id <> b.vec_id),
+            ranked AS (SELECT vec_id, nbr_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, nbr_id) AS rank
+                  FROM sims)
+            SELECT vec_id, nbr_id, cos, rank FROM ranked WHERE rank <= 5""",
     }

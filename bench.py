@@ -164,12 +164,16 @@ def run_bench() -> dict:
         import __ray_entry__ as _entry
 
         qs = _entry.queries()
+        qs.update(_entry.extra_queries())
         for name, label in (
             ("dedup_minhash_verified", "dedup_minhash_verify"),
             ("dedup_clusters", "dedup_clusters"),
             ("ann_ivf_topk", "ann_ivf"),
             ("doc_tfidf_top3", "tfidf"),
             ("doc_top5_longest_per_lang", "grouped_topk"),
+            ("x_doc_pack_512", "pack_sequences"),
+            ("x_doc_shuffle_shards", "shuffle_shards"),
+            ("x_emb_knn_graph", "knn_graph"),
         ):
             t0 = time.monotonic()
             r = qs[name](sf_dir)

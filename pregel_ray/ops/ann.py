@@ -226,3 +226,144 @@ def ivf_topk(
         .groupby("query_id")
         .map_groups(arrow_groups(_final), batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph (every vector's top-k neighbors)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph_exact(embeddings: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """(vec_id, nbr_id, cos, rank 1..k): exact k-NN graph by cosine,
+    self excluded, ties broken by nbr_id ascending on the ROUNDED(6)
+    similarity (matches the SQL oracle's ORDER BY).
+
+    The normalized matrix is assembled in a remote task and broadcast
+    from plasma once (`ray.put`-equivalent, never per batch); each batch
+    is a slice of QUERY rows doing one matmul against the full matrix,
+    so its per-row top-k is already final — no fold stage. O(N²/batch)
+    work spread across batches; the documented exactness baseline below
+    the `knn_graph` gate."""
+    ref = _gather_normed_matrix.remote(embeddings.to_arrow_refs())
+
+    def _topk(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        vecs = _stack(t["embedding"])
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        mine = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = np.round(vecs @ lut["m"].T, 6)  # (B, N), oracle-rounded
+        out = {"vec_id": [], "nbr_id": [], "cos": [], "rank": []}
+        ids = lut["ids"]
+        for row in range(sims.shape[0]):
+            s = sims[row].copy()
+            s[ids == mine[row]] = -np.inf  # drop self
+            kk = min(k, len(s) - 1)
+            if kk <= 0:
+                continue
+            # top-kk by value, then widen to all boundary ties before the
+            # deterministic (−cos, nbr_id) lexsort of the small candidate set
+            part = np.argpartition(-s, kk - 1)[:kk]
+            kth = s[part].min()
+            cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((ids[cand], -s[cand]))[:kk]
+            sel = cand[order]
+            out["vec_id"].extend([int(mine[row])] * kk)
+            out["nbr_id"].extend(ids[sel].tolist())
+            out["cos"].extend(s[sel].tolist())
+            out["rank"].extend(range(1, kk + 1))
+        return pa.table(
+            {
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "nbr_id": pa.array(out["nbr_id"], pa.int64()),
+                "cos": pa.array(out["cos"], pa.float64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(_topk, batch_format="pyarrow")
+
+
+def knn_graph_ivf(
+    embeddings: rd.Dataset,
+    k: int = 5,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 13,
+) -> rd.Dataset:
+    """Approximate k-NN graph: IVF-bucketed — vectors are assigned to
+    their nearest coarse centroid (same sampled k-means as ivf_topk) and
+    each bucket computes an EXACT local k-NN among its own members. Sub-
+    quadratic (Σ|bucket|² « N²); recall < 1 only for neighbors that land
+    in a different bucket — the recall pytest pins the regime. The
+    100 TB shape: one groupby moves each vector once; per-bucket memory
+    is |bucket|×d (raise n_centroids for hot buckets)."""
+    sample = embeddings.random_sample(
+        min(1.0, sample_size / max(1, embeddings.count())), seed=seed
+    ).to_pandas()
+    x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cent_ref = ray.put(cent)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _stack(t["embedding"])
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        bucket = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {"vec_id": t["vec_id"], "bucket": pa.array(bucket), "v": pa.array(list(vn))}
+        )
+
+    def _local_knn(g: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(g["v"].to_numpy())
+        vid = g["vec_id"].to_numpy().astype(np.int64)
+        sims = np.round(vecs @ vecs.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        out = {"vec_id": [], "nbr_id": [], "cos": [], "rank": []}
+        kk = min(k, len(vid) - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "nbr_id": pd.Series([], dtype=np.int64),
+                 "cos": pd.Series([], dtype=np.float64),
+                 "rank": pd.Series([], dtype=np.int64)}
+            )
+        for row in range(len(vid)):
+            s = sims[row]
+            part = np.argpartition(-s, kk - 1)[:kk]
+            kth = s[part].min()
+            cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((vid[cand], -s[cand]))[:kk]
+            sel = cand[order]
+            out["vec_id"].extend([int(vid[row])] * kk)
+            out["nbr_id"].extend(vid[sel].tolist())
+            out["cos"].extend(s[sel].tolist())
+            out["rank"].extend(range(1, kk + 1))
+        return pd.DataFrame(out).astype(
+            {"vec_id": np.int64, "nbr_id": np.int64, "rank": np.int64}
+        )
+
+    return (
+        embeddings.map_batches(_assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(arrow_groups(_local_knn), batch_format="pandas")
+    )
+
+
+def knn_graph(
+    embeddings: rd.Dataset, k: int = 5, exact_max_vectors: int = 2_000_000
+) -> rd.Dataset:
+    """k-NN graph with the repo's standard scale gate: exact broadcast-
+    matmul baseline while the N×d matrix fits a worker, IVF-bucketed
+    sub-quadratic approximation above (the 100 TB shape)."""
+    if embeddings.count() <= exact_max_vectors:
+        return knn_graph_exact(embeddings, k)
+    return knn_graph_ivf(embeddings, k)
