@@ -1240,6 +1240,12 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
             k=5,
         )
 
+    def walks(sf_dir):
+        from pregel_ray.ops.walks import random_walks
+        from pregel_ray.pipelines import edges_named
+
+        return random_walks(edges_named(sf_dir), walk_len=3)
+
     return {
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
@@ -1253,6 +1259,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_pack_512": pack,
         "x_doc_shuffle_shards": shards,
         "x_emb_knn_graph": knn,
+        "x_graph_random_walks": walks,
     }
 
 
@@ -1363,6 +1370,36 @@ def extra_oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY hv % 8
                                       ORDER BY hv, doc_id) - 1 AS pos
             FROM h""",
+        # deterministic random walks: md5-picked neighbor at each step,
+        # replayed exactly by the unrolled per-step joins
+        "x_graph_random_walks": "WITH " + _edges_cte() + """,
+            v AS MATERIALIZED (SELECT DISTINCT name FROM
+                 (SELECT src_name AS name FROM e
+                  UNION ALL SELECT dst_name FROM e)),
+            adj AS MATERIALIZED (SELECT src_name AS src, dst_name AS dst,
+                   ROW_NUMBER() OVER (PARTITION BY src_name
+                                      ORDER BY dst_name) - 1 AS rank,
+                   COUNT(*) OVER (PARTITION BY src_name) AS deg FROM e),
+            w0 AS MATERIALIZED (SELECT name AS start_name, name FROM v),
+            w1 AS MATERIALIZED (SELECT w.start_name, a.dst AS name
+                  FROM w0 w JOIN adj a ON a.src = w.name
+                  AND a.rank = CAST(md5_number_lower(
+                          w.start_name || ':0:' || w.name)
+                      % CAST(a.deg AS UBIGINT) AS BIGINT)),
+            w2 AS MATERIALIZED (SELECT w.start_name, a.dst AS name
+                  FROM w1 w JOIN adj a ON a.src = w.name
+                  AND a.rank = CAST(md5_number_lower(
+                          w.start_name || ':1:' || w.name)
+                      % CAST(a.deg AS UBIGINT) AS BIGINT)),
+            w3 AS MATERIALIZED (SELECT w.start_name, a.dst AS name
+                  FROM w2 w JOIN adj a ON a.src = w.name
+                  AND a.rank = CAST(md5_number_lower(
+                          w.start_name || ':2:' || w.name)
+                      % CAST(a.deg AS UBIGINT) AS BIGINT))
+            SELECT start_name, CAST(0 AS BIGINT) AS step, name FROM w0
+            UNION ALL SELECT start_name, 1, name FROM w1
+            UNION ALL SELECT start_name, 2, name FROM w2
+            UNION ALL SELECT start_name, 3, name FROM w3""",
         # exact k-NN graph (gate: exact below 2M vectors; IVF above)
         "x_emb_knn_graph": """
             WITH sims AS (SELECT a.vec_id, b.vec_id AS nbr_id,

@@ -174,6 +174,7 @@ def run_bench() -> dict:
             ("x_doc_pack_512", "pack_sequences"),
             ("x_doc_shuffle_shards", "shuffle_shards"),
             ("x_emb_knn_graph", "knn_graph"),
+            ("x_graph_random_walks", "random_walks"),
         ):
             t0 = time.monotonic()
             r = qs[name](sf_dir)

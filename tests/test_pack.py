@@ -151,3 +151,41 @@ def test_knn_graph_gate_switches_paths(ray_session):
     approx = knn_graph(emb, k=3, exact_max_vectors=1).to_pandas()
     assert set(approx.columns) == {"vec_id", "nbr_id", "cos", "rank"}
     assert (approx["vec_id"] != approx["nbr_id"]).all()
+
+
+def test_random_walks_structure_and_layout_independence(ray_session):
+    """Exact values are pinned by the x_graph_random_walks gate oracle;
+    here: step-0 covers every vertex, every hop follows a real edge, and
+    the walk corpus is block-layout-independent."""
+    from pregel_ray.ops.walks import random_walks
+    from pregel_ray.pipelines import edges_named
+
+    edges = edges_named(SF).materialize()
+    out = random_walks(edges, walk_len=2).to_pandas()
+
+    epd = edges.to_pandas()
+    eset = set(map(tuple, epd[["src_name", "dst_name"]].to_numpy()))
+    verts = set(epd["src_name"]) | set(epd["dst_name"])
+
+    s0 = out[out["step"] == 0]
+    assert set(s0["name"]) == verts and len(s0) == len(verts)
+
+    # every hop (step s → s+1 of the same walk) is an edge
+    wide = out.pivot(index="start_name", columns="step", values="name")
+    for s in (0, 1):
+        if s + 1 not in wide.columns:
+            continue
+        hops = wide[[s, s + 1]].dropna()
+        assert all(
+            (a, b) in eset for a, b in hops.itertuples(index=False)
+        )
+
+    # block layout must not change the corpus
+    again = (
+        random_walks(edges.repartition(9), walk_len=2)
+        .to_pandas()
+        .sort_values(["start_name", "step", "name"])
+        .reset_index(drop=True)
+    )
+    ref = out.sort_values(["start_name", "step", "name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(again, ref)
