@@ -1246,6 +1246,12 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return random_walks(edges_named(sf_dir), walk_len=3)
 
+    def nbr_sample(sf_dir):
+        from pregel_ray.ops.walks import sample_neighbors
+        from pregel_ray.pipelines import edges_named
+
+        return sample_neighbors(edges_named(sf_dir), k=3)
+
     return {
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
@@ -1260,6 +1266,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_shuffle_shards": shards,
         "x_emb_knn_graph": knn,
         "x_graph_random_walks": walks,
+        "x_graph_sample_neighbors": nbr_sample,
     }
 
 
@@ -1400,6 +1407,18 @@ def extra_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT start_name, 1, name FROM w1
             UNION ALL SELECT start_name, 2, name FROM w2
             UNION ALL SELECT start_name, 3, name FROM w3""",
+        # deterministic k-neighbor sample: per src, the k edges with the
+        # smallest md5_low64(src ':' dst) (ties by dst name) — the GNN
+        # mini-batch fan-out, replayed by a ROW_NUMBER over the same hash
+        "x_graph_sample_neighbors": "WITH " + _edges_cte() + """,
+            h AS (SELECT src_name, dst_name,
+                         md5_number_lower(src_name || ':' || dst_name) AS hv
+                  FROM e),
+            r AS (SELECT src_name, dst_name,
+                         ROW_NUMBER() OVER (PARTITION BY src_name
+                                            ORDER BY hv, dst_name) - 1 AS rank
+                  FROM h)
+            SELECT src_name, dst_name, rank FROM r WHERE rank < 3""",
         # exact k-NN graph (gate: exact below 2M vectors; IVF above)
         "x_emb_knn_graph": """
             WITH sims AS (SELECT a.vec_id, b.vec_id AS nbr_id,

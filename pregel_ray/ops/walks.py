@@ -195,3 +195,75 @@ def random_walks(
     for o in outputs[1:]:
         out = out.union(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic neighbor sampling (GNN mini-batch shape)
+# ---------------------------------------------------------------------------
+
+
+def sample_neighbors(
+    edges: rd.Dataset, k: int = 3, num_buckets: int = 128
+) -> rd.Dataset:
+    """(src_name, dst_name, rank): for every vertex, a deterministic
+    sample of min(k, out_degree) distinct neighbors — the GNN
+    mini-batch fan-out. Neighbors race by ``md5_low64(src + ':' + dst)``
+    (ties by dst name): no RNG state, layout-independent, and a DuckDB
+    ROW_NUMBER over the same hash replays it exactly.
+
+    Scale shape (the grouped_topk discipline): each block keeps at most
+    k candidates per src it contains — ≤ k·blocks rows per vertex ride
+    the one bucketed shuffle; a 10⁶-degree hub never moves whole."""
+    import pyarrow.compute as pc
+
+    def _hv(t: pa.Table) -> pa.Table:
+        src = t["src_name"].to_pylist()
+        dst = t["dst_name"].to_pylist()
+        hv = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{a}:{b}".encode()).digest()[8:], "little"
+                )
+                for a, b in zip(src, dst)
+            ),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        return pa.table(
+            {
+                "src_name": t["src_name"],
+                "dst_name": t["dst_name"],
+                "hv": pa.array(hv),
+            }
+        )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # Arrow-native per-block top-k (smallest hv) per src present
+        keys = [("src_name", "ascending"), ("hv", "ascending"),
+                ("dst_name", "ascending")]
+        ts = t.take(pc.sort_indices(t, sort_keys=keys))
+        boundary = np.zeros(ts.num_rows, bool)
+        if ts.num_rows:
+            boundary[0] = True
+            v = ts["src_name"].to_numpy(zero_copy_only=False)
+            boundary[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(boundary)
+        grp = np.cumsum(boundary) - 1
+        rank = np.arange(ts.num_rows) - starts[grp]
+        return ts.filter(pa.array(rank < k))
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src_name", "hv", "dst_name"], kind="mergesort")
+        g = g.assign(rank=g.groupby("src_name", sort=False).cumcount())
+        g = g[g["rank"] < k]
+        return g.drop(columns="hv").astype({"rank": np.int64})
+
+    withhv = edges.select_columns(["src_name", "dst_name"]).map_batches(
+        _hv, batch_format="pyarrow"
+    )
+    return grouped_apply(
+        withhv.map_batches(_partial, batch_format="pyarrow"),
+        ["src_name"],
+        _final,
+        num_buckets=num_buckets,
+    )

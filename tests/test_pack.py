@@ -189,3 +189,63 @@ def test_random_walks_structure_and_layout_independence(ray_session):
     )
     ref = out.sort_values(["start_name", "step", "name"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(again, ref)
+
+
+def test_sample_neighbors_matches_bruteforce(ray_session):
+    """Exact values are pinned by the x_graph_sample_neighbors gate
+    oracle; here: parity vs a driver-side brute-force replay, distinct
+    neighbors, min(k, deg) rows per vertex, and layout independence."""
+    import hashlib
+
+    from pregel_ray.ops.walks import sample_neighbors
+    from pregel_ray.pipelines import edges_named
+
+    k = 3
+    edges = edges_named(SF).materialize()
+    out = (
+        sample_neighbors(edges, k=k)
+        .to_pandas()
+        .sort_values(["src_name", "rank"])
+        .reset_index(drop=True)
+    )
+
+    epd = edges.to_pandas()[["src_name", "dst_name"]]
+    hv = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(f"{a}:{b}".encode()).digest()[8:], "little"
+            )
+            for a, b in epd.itertuples(index=False)
+        ),
+        dtype=np.uint64,
+        count=len(epd),
+    )
+    brute = epd.assign(hv=hv).sort_values(
+        ["src_name", "hv", "dst_name"], kind="mergesort"
+    )
+    brute = brute.assign(
+        rank=brute.groupby("src_name", sort=False).cumcount()
+    )
+    brute = (
+        brute[brute["rank"] < k]
+        .drop(columns="hv")
+        .astype({"rank": np.int64})
+        .sort_values(["src_name", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, brute)
+
+    # min(k, out_degree) distinct neighbors per vertex
+    deg = epd.groupby("src_name").size()
+    got = out.groupby("src_name").size()
+    assert got.eq(deg.clip(upper=k).reindex(got.index)).all()
+    assert not out.duplicated(["src_name", "dst_name"]).any()
+
+    # block layout must not change the sample
+    again = (
+        sample_neighbors(edges.repartition(9), k=k)
+        .to_pandas()
+        .sort_values(["src_name", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, out)
