@@ -1252,6 +1252,36 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return sample_neighbors(edges_named(sf_dir), k=3)
 
+    def _docs_meta(sf_dir):
+        return _read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "source"])
+
+    def split(sf_dir):
+        from pregel_ray.ops.mix import split_fractions
+
+        return split_fractions(
+            _docs_meta(sf_dir).select_columns(["doc_id"]), "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        )
+
+    def quota(sf_dir):
+        from pregel_ray.ops.mix import group_quota_sample
+
+        return group_quota_sample(
+            _docs_meta(sf_dir).select_columns(["doc_id", "lang"]),
+            ["lang"], "doc_id", quota=25,
+        )
+
+    def mixture(sf_dir):
+        from pregel_ray.ops.mix import mixture_epochs
+
+        return mixture_epochs(
+            _docs_meta(sf_dir).select_columns(["doc_id", "lang"]),
+            "doc_id", "lang",
+            {"en": 2.5, "de": 1.0, "es": 0.25, "zh": 3.0},
+            default=1.5,
+        )
+
     return {
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
@@ -1267,6 +1297,9 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_emb_knn_graph": knn,
         "x_graph_random_walks": walks,
         "x_graph_sample_neighbors": nbr_sample,
+        "x_doc_split_fractions": split,
+        "x_doc_quota_per_lang": quota,
+        "x_doc_mixture_epochs": mixture,
     }
 
 
@@ -1419,6 +1452,46 @@ def extra_oracle_sql() -> dict[str, str]:
                                             ORDER BY hv, dst_name) - 1 AS rank
                   FROM h)
             SELECT src_name, dst_name, rank FROM r WHERE rank < 3""",
+        # deterministic train/val/test split: md5(salt:key) ppm vs
+        # cumulative cutoffs (900000 / 950000 / 1000000)
+        "x_doc_split_fractions": """
+            SELECT doc_id,
+                   CASE WHEN hv < 900000 THEN 'train'
+                        WHEN hv < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         md5_number_lower('split:' || CAST(doc_id AS VARCHAR))
+                             % 1000000 AS hv
+                  FROM documents)""",
+        # per-language quota cap: the 25 smallest md5(quota:doc_id) per lang
+        "x_doc_quota_per_lang": """
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5_number_lower(
+                                 'quota:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 25""",
+        # mixture epochs: reps = floor(w) + [md5(mix:doc_id) ppm < frac(w)];
+        # weights en 2.5 / de 1.0 / es 0.25 / zh 3.0, default 1.5
+        "x_doc_mixture_epochs": """
+            WITH w(lang, w_ppm) AS (VALUES
+                ('en', 2500000), ('de', 1000000),
+                ('es', 250000), ('zh', 3000000)),
+            d AS (SELECT doc_id, documents.lang,
+                         COALESCE(w.w_ppm, 1500000) AS w_ppm,
+                         CAST(md5_number_lower(
+                             'mix:' || CAST(doc_id AS VARCHAR))
+                             % 1000000 AS BIGINT) AS hv
+                  FROM documents LEFT JOIN w ON w.lang = documents.lang)
+            SELECT doc_id, lang,
+                   UNNEST(generate_series(0,
+                       w_ppm // 1000000
+                       + CASE WHEN hv < w_ppm % 1000000 THEN 1 ELSE 0 END
+                       - 1)) AS epoch
+            FROM d""",
         # exact k-NN graph (gate: exact below 2M vectors; IVF above)
         "x_emb_knn_graph": """
             WITH sims AS (SELECT a.vec_id, b.vec_id AS nbr_id,
