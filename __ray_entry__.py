@@ -1282,6 +1282,27 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
             default=1.5,
         )
 
+    def incr_dedup(sf_dir):
+        # incremental ingest: docs with doc_id % 3 == 0 are the standing
+        # corpus, the rest are the new batch (deterministic split so the
+        # SQL oracle derives the same corpus)
+        import pyarrow as pa
+
+        from pregel_ray.ops.dedup import dedup_against
+
+        docs = _docs(sf_dir)
+
+        def _part(keep_mod0):
+            def _f(t):
+                m = t["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0
+                return t.filter(pa.array(m if keep_mod0 else ~m))
+            return _f
+
+        return dedup_against(
+            docs.map_batches(_part(False), batch_format="pyarrow"),
+            docs.map_batches(_part(True), batch_format="pyarrow"),
+        )
+
     return {
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
@@ -1300,6 +1321,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_split_fractions": split,
         "x_doc_quota_per_lang": quota,
         "x_doc_mixture_epochs": mixture,
+        "x_doc_dedup_against": incr_dedup,
     }
 
 
@@ -1440,6 +1462,13 @@ def extra_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT start_name, 1, name FROM w1
             UNION ALL SELECT start_name, 2, name FROM w2
             UNION ALL SELECT start_name, 3, name FROM w3""",
+        # incremental exact dedup: new-batch docs (doc_id % 3 <> 0) whose
+        # md5 fingerprint is absent from the standing corpus (% 3 = 0)
+        "x_doc_dedup_against": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+            WHERE doc_id % 3 <> 0
+              AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                                    WHERE doc_id % 3 = 0)""",
         # deterministic k-neighbor sample: per src, the k edges with the
         # smallest md5_low64(src ':' dst) (ties by dst name) — the GNN
         # mini-batch fan-out, replayed by a ROW_NUMBER over the same hash

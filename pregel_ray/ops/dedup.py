@@ -801,3 +801,36 @@ def contaminated_docs(
         fn_constructor_kwargs={"probes": tuple(probe_texts), "k": n},
         concurrency=2,
     )
+
+
+def dedup_against(
+    batch: rd.Dataset, corpus: rd.Dataset, num_buckets: int = 128
+) -> rd.Dataset:
+    """(doc_id, fp) of ``batch`` docs whose exact text fingerprint does
+    NOT already appear in ``corpus`` — incremental ingest dedup (the step
+    a pipeline runs on every new crawl batch against the standing
+    corpus). Exact/byte-identical level; n-gram-level incremental checks
+    are ``contaminated_docs`` with the corpus as probes.
+
+    Shape: fingerprint both sides map-side (only (doc_id, fp) ever
+    shuffles — never text), map-side-combined distinct on the corpus
+    fingerprints, ONE bucketed ANTI join. Per-bucket memory is
+    |fingerprints|/num_buckets regardless of corpus size."""
+    from ..agg import bucketed_join, distinct
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fp, pa.string())})
+
+    def _fp_only(t: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"fp": pa.array(fp, pa.string())})
+
+    seen = distinct(
+        corpus.map_batches(_fp_only, batch_format="pyarrow"),
+        ["fp"], num_buckets=num_buckets,
+    )
+    return bucketed_join(
+        batch.map_batches(_fp, batch_format="pyarrow"),
+        seen, ["fp"], how="anti", num_buckets=num_buckets,
+    )

@@ -801,3 +801,36 @@ def test_repetition_stats_known_values(ray_session):
     assert out["doc_id"].tolist() == [1, 2]
     assert out["n_grams"].tolist() == [6, 3]
     assert out["rep_ppm"].tolist() == [1_000_000, 0]
+
+
+def test_dedup_against_incremental(ray_session):
+    """Planted scenario: the new batch repeats two corpus texts verbatim
+    and brings two fresh ones — only the fresh ones survive; also checks
+    batch-internal duplicates are NOT collapsed (that is dedup_exact's
+    job, not the anti join's)."""
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import dedup_against
+
+    corpus = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the cat sat"},
+            {"doc_id": 2, "text": "dogs bark loud"},
+            {"doc_id": 3, "text": "the cat sat"},  # corpus-internal dup
+        ]
+    )
+    batch = rd.from_items(
+        [
+            {"doc_id": 10, "text": "the cat sat"},      # known → dropped
+            {"doc_id": 11, "text": "dogs bark loud"},   # known → dropped
+            {"doc_id": 12, "text": "fresh text one"},   # new
+            {"doc_id": 13, "text": "fresh text two"},   # new
+            {"doc_id": 14, "text": "fresh text one"},   # batch-internal dup
+        ]
+    )
+    out = dedup_against(batch, corpus).to_pandas()
+    assert sorted(out["doc_id"]) == [12, 13, 14]
+    assert (
+        out.set_index("doc_id").loc[12, "fp"]
+        == hashlib.md5(b"fresh text one").hexdigest()
+    )
