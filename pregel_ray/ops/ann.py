@@ -137,6 +137,63 @@ def neardup(
     return embedding_near_dups(embeddings, threshold)
 
 
+def _fit_centroids(
+    embeddings: rd.Dataset, n_centroids: int, sample_size: int, seed: int
+) -> np.ndarray:
+    """Unit-norm coarse centroids fit driver-side on a bounded seeded
+    sample (mini k-means, 10 iterations, spherical) — the shared coarse
+    quantizer of ivf_topk / knn_graph_ivf / kmeans_clusters. Driver
+    memory is sample_size×d regardless of dataset size."""
+    sample = embeddings.random_sample(
+        min(1.0, sample_size / max(1, embeddings.count())), seed=seed
+    ).to_pandas()
+    x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
+    for _ in range(10):  # mini k-means on the sample
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def kmeans_clusters(
+    embeddings: rd.Dataset,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    seed: int = 13,
+) -> rd.Dataset:
+    """(vec_id, cluster_id, cos): spherical k-means cluster assignment —
+    the semantic-bucketing primitive (topic balancing, diversity
+    sampling, per-cluster quota caps via ops.mix.group_quota_sample).
+    Centroids fit on a bounded sample driver-side; assignment is one
+    broadcast-matmul map pass (`ray.put` once, zero-copy read per task).
+    ``cos`` is the similarity to the assigned centroid (rounded 1e-6) —
+    low values flag outlier/junk embeddings."""
+    cent_ref = ray.put(_fit_centroids(embeddings, n_clusters, sample_size, seed))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _stack(t["embedding"])
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vn @ c.T
+        cluster = np.argmax(sims, axis=1)
+        cos = np.round(sims[np.arange(len(cluster)), cluster], 6)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster_id": pa.array(cluster.astype(np.int64)),
+                "cos": pa.array(cos),
+            }
+        )
+
+    return embeddings.map_batches(_assign, batch_format="pyarrow")
+
+
 def ivf_topk(
     embeddings: rd.Dataset,
     queries: np.ndarray,
@@ -154,20 +211,7 @@ def ivf_topk(
     probed, so the search is exhaustive and exactly equals brute_topk
     (the mode the driver query uses so its SQL oracle is exact, while the
     recall pytest covers the approximate regime)."""
-    sample = embeddings.random_sample(
-        min(1.0, sample_size / max(1, embeddings.count())), seed=seed
-    ).to_pandas()
-    x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
-    for _ in range(10):  # mini k-means on the sample
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = x[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cent = _fit_centroids(embeddings, n_centroids, sample_size, seed)
     cent_ref = ray.put(cent)
 
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
@@ -297,21 +341,7 @@ def knn_graph_ivf(
     in a different bucket — the recall pytest pins the regime. The
     100 TB shape: one groupby moves each vector once; per-bucket memory
     is |bucket|×d (raise n_centroids for hot buckets)."""
-    sample = embeddings.random_sample(
-        min(1.0, sample_size / max(1, embeddings.count())), seed=seed
-    ).to_pandas()
-    x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
-    for _ in range(10):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = x[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
-    cent_ref = ray.put(cent)
+    cent_ref = ray.put(_fit_centroids(embeddings, n_centroids, sample_size, seed))
 
     def _assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)

@@ -834,3 +834,38 @@ def test_dedup_against_incremental(ray_session):
         out.set_index("doc_id").loc[12, "fp"]
         == hashlib.md5(b"fresh text one").hexdigest()
     )
+
+
+def test_kmeans_clusters_recovers_planted_clusters(ray_session):
+    """3 well-separated spherical clusters → assignment is pure (every
+    planted cluster maps to exactly one cluster_id) and cos to the
+    assigned centroid is high. Also pins that the refactored
+    _fit_centroids keeps ivf/knn behavior: schema + one row per vector."""
+    import ray.data as rd
+
+    from pregel_ray.ops.ann import kmeans_clusters
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3)  # orthogonal unit centers
+    rows = []
+    for ci in range(3):
+        pts = centers[ci] + rng.normal(0, 0.05, size=(60, 3))
+        for j, p in enumerate(pts):
+            rows.append(
+                {"vec_id": ci * 1000 + j,
+                 "embedding": (p / np.linalg.norm(p)).astype(np.float32)}
+            )
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    out = kmeans_clusters(ds, n_clusters=3, sample_size=180, seed=7).to_pandas()
+    assert len(out) == 180
+    assert set(out.columns) == {"vec_id", "cluster_id", "cos"}
+
+    out["true"] = out["vec_id"] // 1000
+    purity = (
+        out.groupby("true")["cluster_id"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+    )
+    assert (purity >= 0.95).all(), purity
+    assert out.groupby("true")["cluster_id"].nunique().le(2).all()
+    assert (out["cos"] > 0.8).mean() > 0.95
