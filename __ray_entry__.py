@@ -1303,7 +1303,13 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(_part(True), batch_format="pyarrow"),
         )
 
+    def corpus(sf_dir):
+        from pregel_ray.pipelines import training_corpus
+
+        return training_corpus(sf_dir)
+
     return {
+        "x_training_corpus_e2e": corpus,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1328,6 +1334,41 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for extra_queries() (same exactness contract)."""
     return {
+        # end-to-end corpus build: quality filter → exact dedup →
+        # train split → 256-token packing (each stage the already-oracled
+        # SQL, composed)
+        "x_training_corpus_e2e": (
+            "WITH q AS MATERIALIZED (SELECT * FROM ("
+            + _quality_sql()
+            + """)),
+            good AS MATERIALIZED (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN q ON q.doc_id = d.doc_id
+              WHERE q.quality_ppm >= 490000),
+            uniq AS (SELECT MIN(doc_id) AS doc_id
+                     FROM good GROUP BY md5(text)),
+            tr AS (SELECT g.doc_id, g.text
+                   FROM good g JOIN uniq u ON u.doc_id = g.doc_id
+                   WHERE md5_number_lower('split:' ||
+                         CAST(g.doc_id AS VARCHAR)) % 1000000 < 900000),
+            t AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok
+                  FROM tr),
+            c AS (SELECT doc_id, ntok,
+                    CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS g0
+                  FROM t),
+            s AS (SELECT doc_id, ntok, g0,
+                    UNNEST(generate_series(g0 // 256,
+                                           (g0 + ntok - 1) // 256)) AS seq_id
+                  FROM c WHERE ntok > 0)
+            SELECT doc_id, seq_id,
+                   GREATEST(g0, seq_id * 256) - g0 AS doc_start,
+                   GREATEST(g0, seq_id * 256) - seq_id * 256 AS seq_start,
+                   LEAST(g0 + ntok, (seq_id + 1) * 256)
+                       - GREATEST(g0, seq_id * 256) AS n_tokens
+            FROM s"""
+        ),
         # substring-level dedup: 5-token spans in >=2 distinct docs
         "x_doc_dup_spans": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -540,3 +540,62 @@ def triangle_total_table(sf_dir: str) -> pd.DataFrame:
     pv = triangle_counts(edges, num_buckets=cfg.num_buckets,
                          broadcast_vertex_threshold=cfg.broadcast_vertex_threshold).materialize()
     return pd.DataFrame({"total": [triangle_total(pv)]})
+
+
+def training_corpus(
+    sf_dir: str,
+    seq_len: int = 256,
+    quality_min_ppm: int = 490_000,
+    train_frac: float = 0.9,
+) -> rd.Dataset:
+    """End-to-end training-corpus construction over the documents table —
+    the composed pipeline a 100 TB run chains (each stage is the
+    already-oracled op, so the whole chain has one exact SQL oracle):
+
+      1. quality filter (ops.text.QualityScore integer heuristics,
+         inline — text never leaves the map pass it arrived in)
+      2. exact dedup (first-of-group survivor per md5 fingerprint)
+      3. deterministic train split (ops.mix.split_fractions, keep 'train')
+      4. GPT-style sequence packing (ops.pack.pack_sequences)
+
+    Output: (doc_id, seq_id, doc_start, seq_start, n_tokens) span rows of
+    the packed train stream. Every stage is md5/integer-deterministic, so
+    the result is invariant to block layout and cluster size."""
+    import pyarrow as pa
+
+    from .io_util import read_parquet
+    from .ops.mix import split_fractions
+    from .ops.pack import pack_sequences
+    from .ops.text import QualityScore
+
+    class _QualityFilter(QualityScore):
+        # reuse the compiled-regex heuristics but keep (doc_id, text):
+        # the downstream dedup/pack stages need the text, and recomputing
+        # quality in a second scan would read the corpus twice
+        def __call__(self, batch):
+            m = super().__call__(batch)
+            keep = m["quality_ppm"].to_numpy() >= quality_min_ppm
+            return pa.table(
+                {
+                    "doc_id": pa.array(batch["doc_id"].to_numpy(np.int64)),
+                    "text": pa.array(batch["text"], pa.string()),
+                }
+            ).filter(pa.array(keep))
+
+    from .ops.dedup import dedup_exact
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    good = docs.map_batches(
+        _QualityFilter, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    unique = dedup_exact(good).drop_columns(["fp"])
+    def _keep_train(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["split"], "train")).drop_columns(["split"])
+
+    train = split_fractions(
+        unique, "doc_id", {"train": train_frac, "rest": 1.0 - train_frac}
+    ).map_batches(_keep_train, batch_format="pyarrow")
+    return pack_sequences(train, seq_len=seq_len)

@@ -249,3 +249,23 @@ def test_sample_neighbors_matches_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(again, out)
+
+
+def test_training_corpus_e2e(ray_session):
+    """Composed pipeline smoke (values pinned by x_training_corpus_e2e):
+    quality-filter → dedup → split → pack output keeps the packing
+    invariants and covers only surviving train docs."""
+    from pregel_ray.pipelines import training_corpus
+
+    out = training_corpus(SF, seq_len=128).to_pandas()
+    assert set(out.columns) == {
+        "doc_id", "seq_id", "doc_start", "seq_start", "n_tokens"
+    }
+    assert len(out) > 0
+    # per-doc spans are contiguous from 0 and positive
+    g = out.sort_values(["doc_id", "doc_start"]).groupby("doc_id")
+    assert (g["doc_start"].first() == 0).all()
+    assert (out["n_tokens"] > 0).all()
+    # sequence ids form a dense prefix 0..max
+    seqs = np.sort(out["seq_id"].unique())
+    assert seqs[0] == 0 and seqs[-1] == len(seqs) - 1
