@@ -175,6 +175,7 @@ def run_bench() -> dict:
             ("x_doc_shuffle_shards", "shuffle_shards"),
             ("x_emb_knn_graph", "knn_graph"),
             ("x_graph_random_walks", "random_walks"),
+            ("x_training_corpus_e2e", "training_corpus"),
         ):
             t0 = time.monotonic()
             r = qs[name](sf_dir)
