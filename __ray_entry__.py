@@ -1308,6 +1308,15 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return training_corpus(sf_dir)
 
+    def hh(sf_dir):
+        # capacity 4096 >= the distinct user count at every test scale
+        # (1500 at sf0.1), so the Misra-Gries summary is provably EXACT
+        # here — the oracle regime; the sketch regime is pytest-pinned
+        from pregel_ray.ops.sketch import heavy_hitters
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        return heavy_hitters(ev, "user_id", k=20, capacity=4096)
+
     return {
         "x_training_corpus_e2e": corpus,
         "x_doc_dup_spans": dup_spans,
@@ -1328,6 +1337,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_quota_per_lang": quota,
         "x_doc_mixture_epochs": mixture,
         "x_doc_dedup_against": incr_dedup,
+        "x_events_heavy_hitters": hh,
     }
 
 
@@ -1510,6 +1520,14 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # Misra-Gries heavy hitters in the exact regime (capacity 4096 >=
+        # distinct users): top-20 users by event count, ties by user_id
+        "x_events_heavy_hitters": """
+            SELECT user_id, cnt FROM (
+              SELECT user_id, COUNT(*) AS cnt,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rn
+              FROM events GROUP BY user_id)
+            WHERE rn <= 20""",
         # deterministic k-neighbor sample: per src, the k edges with the
         # smallest md5_low64(src ':' dst) (ties by dst name) — the GNN
         # mini-batch fan-out, replayed by a ROW_NUMBER over the same hash

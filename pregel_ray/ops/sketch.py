@@ -199,3 +199,106 @@ def bloom_contains(
                >> (idx & np.uint64(63))) & np.uint64(1)
         mask &= bit.astype(bool)
     return mask
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (frequent items)
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    key: str,
+    k: int = 20,
+    capacity: int = 4096,
+    num_buckets: int = 128,
+    return_bound: bool = False,
+) -> rd.Dataset | tuple[rd.Dataset, int]:
+    """Top-k most frequent values of `key` via a distributed Misra-Gries
+    summary (Misra & Gries 1982; mergeability per Agarwal et al. 2012).
+    Returns (key, cnt) rows, ordered (cnt desc, key asc), rank <= k.
+
+    Scale shape — the sketch IS the reduction, like `hll_registers`:
+    each block folds its rows into an exact Arrow value-count, then
+    MG-compresses to <= `capacity` counters (subtract the
+    (capacity+1)-th largest count, drop non-positives — every survivor
+    undercounts by <= that block threshold). Only <= capacity rows per
+    block enter the bucketed group-sum (map-side combined), and the
+    final top-k ships <= k rows per bucket into one tiny sort. The
+    corpus itself never shuffles, and no stage holds more than
+    O(capacity) counters.
+
+    Guarantees: for every value, true - sum(block thresholds) <= est
+    <= true, so any value with global frequency > N/(capacity+1)
+    appears in the summary. With `capacity` >= the GLOBAL distinct
+    count no compression ever fires and the result is EXACT — the
+    regime the extras SQL oracle pins at gate scale (the same
+    exact-regime trick as the IVF nprobe=n_centroids oracle).
+
+    `return_bound=True` additionally returns the summed per-block
+    compression thresholds B (materializes the tiny partials once):
+    every reported cnt satisfies cnt <= true <= cnt + B.
+    """
+    import pyarrow.compute as pc
+
+    from ..agg import group_sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = (
+            t.select([key])
+            .group_by([key])
+            .aggregate([([], "count_all")])
+            .rename_columns([key, "cnt"])
+        )
+        thr = 0
+        n = vc.num_rows
+        if n > capacity:
+            cnts = vc["cnt"].to_numpy()
+            # (capacity+1)-th largest = ascending index n-capacity-1
+            thr = int(np.partition(cnts, n - capacity - 1)[n - capacity - 1])
+            vc = vc.filter(pa.array(cnts > thr))
+            vc = pa.table(
+                {key: vc[key], "cnt": pa.array(vc["cnt"].to_numpy() - thr)}
+            )
+        if return_bound:
+            # per-block threshold rides a sidecar row (null key, cnt=0)
+            # so one pass yields both the counters and the error bound
+            vc = vc.append_column("thr", pa.array(np.zeros(vc.num_rows, np.int64)))
+            if thr:
+                vc = pa.concat_tables(
+                    [
+                        vc,
+                        pa.table(
+                            {
+                                key: pa.array([None], vc[key].type),
+                                "cnt": pa.array([0], pa.int64()),
+                                "thr": pa.array([thr], pa.int64()),
+                            }
+                        ),
+                    ]
+                )
+        return vc
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    bound = 0
+    if return_bound:
+        parts = parts.materialize()  # tiny: <= capacity(+1) rows per block
+        bound = int(parts.sum("thr") or 0)
+        parts = parts.map_batches(
+            lambda t: t.filter(pc.is_valid(t[key])).drop_columns(["thr"]),
+            batch_format="pyarrow",
+        )
+
+    sums = group_sum(parts, [key], "cnt", num_buckets=num_buckets)
+
+    def _block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), (key, "ascending")]
+        )
+        return t.take(idx[:k])
+
+    out = (
+        sums.map_batches(_block_topk, batch_format="pyarrow")
+        .sort(["cnt", key], descending=[True, False])
+        .limit(k)
+    )
+    return (out, bound) if return_bound else out

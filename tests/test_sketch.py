@@ -281,3 +281,69 @@ def test_exact_quantiles_by_vs_numpy(ray_session):
         rows = got[got["g"] == f"g{gi}"].set_index("q_permille")
         for q in (250, 500, 750, 990):
             assert rows.loc[q, "value"] == s[(len(s) - 1) * q // 1000], (gi, q)
+
+
+# ----------------------------------------------------- heavy hitters
+
+
+def _hh_truth(vals: np.ndarray, k: int) -> pd.DataFrame:
+    """Exact top-k by (count desc, value asc) — the oracle's tiebreak."""
+    vc = pd.Series(vals).value_counts().rename_axis("v").reset_index(name="cnt")
+    vc = vc.sort_values(["cnt", "v"], ascending=[False, True], kind="mergesort")
+    return vc.head(k).reset_index(drop=True)
+
+
+def test_heavy_hitters_exact_regime(ray_session):
+    """capacity >= distinct: no compression ever fires, result == exact
+    top-k with the (cnt desc, value asc) tiebreak — the oracle regime."""
+    from pregel_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = np.repeat(np.arange(60), rng.integers(1, 50, 60))
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(7)
+    got = heavy_hitters(ds, "v", k=10, capacity=64).to_pandas()
+    want = _hh_truth(vals, 10)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"v": np.int64, "cnt": np.int64}),
+        want.astype({"v": np.int64, "cnt": np.int64}),
+    )
+
+
+def test_heavy_hitters_exact_regime_layout_independent(ray_session):
+    """Same multiset, different block layouts → identical result."""
+    from pregel_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 40, 2000)
+    a = heavy_hitters(
+        rd.from_arrow(pa.table({"v": vals})).repartition(2), "v", k=8,
+        capacity=64,
+    ).to_pandas()
+    b = heavy_hitters(
+        rd.from_arrow(pa.table({"v": vals})).repartition(13), "v", k=8,
+        capacity=64,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_heavy_hitters_sketch_regime_bound(ray_session):
+    """Tight capacity: compression fires; every estimate satisfies
+    est <= true <= est + bound, and the true heavy value survives."""
+    from pregel_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # one 25% heavy value + a 500-value tail: far over capacity=16
+    vals = np.concatenate([np.full(1000, 9999), rng.integers(0, 500, 3000)])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(6)
+    out, bound = heavy_hitters(ds, "v", k=5, capacity=16, return_bound=True)
+    got = out.to_pandas()
+    true = pd.Series(vals).value_counts()
+    assert bound > 0  # compression actually exercised
+    for _, r in got.iterrows():
+        t = int(true[r["v"]])
+        assert r["cnt"] <= t <= r["cnt"] + bound, (r["v"], r["cnt"], t, bound)
+    assert 9999 in set(got["v"])  # freq 25% >> N/(capacity+1)
+    # MG guarantee needs the summary itself bounded, not just the top-k
+    assert len(got) <= 5
