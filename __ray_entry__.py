@@ -1317,8 +1317,18 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
         return heavy_hitters(ev, "user_id", k=20, capacity=4096)
 
+    def cms(sf_dir):
+        # Count-Min counter table is an exact function of the multiset
+        # (md5-low64 row hashes = DuckDB md5_number_lower) — the HLL
+        # register-rebuild oracle trick; estimate/merge pytest-pinned
+        from pregel_ray.ops.sketch import cms_counters
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        return cms_counters(ev, "user_id", depth=4, width=1024)
+
     return {
         "x_training_corpus_e2e": corpus,
+        "x_events_cms_counters": cms,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1520,6 +1530,16 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # Count-Min counter table rebuilt cell-by-cell: row-d hash is
+        # md5_number_lower(d ':' value) % width — exact, like the HLL
+        # register oracle
+        "x_events_cms_counters": """
+            SELECT CAST(t.d AS INTEGER) AS d,
+                   CAST(md5_number_lower(CONCAT(t.d, ':',
+                        CAST(user_id AS VARCHAR))) % 1024 AS INTEGER) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events CROSS JOIN range(4) t(d)
+            GROUP BY 1, 2""",
         # Misra-Gries heavy hitters in the exact regime (capacity 4096 >=
         # distinct users): top-20 users by event count, ties by user_id
         "x_events_heavy_hitters": """

@@ -302,3 +302,125 @@ def heavy_hitters(
         .limit(k)
     )
     return (out, bound) if return_bound else out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates)
+
+
+def cms_counters(
+    ds: rd.Dataset,
+    key: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Count-Min sketch counter table for `key` (Cormode & Muthukrishnan
+    2005): rows (d, cell, cnt) where cnt = total count of values whose
+    row-d hash lands in `cell`. Complements `heavy_hitters` (top-k) with
+    mergeable POINT estimates: `cms_estimate` answers "how often did X
+    occur" for any X, always >= true, <= true + 2N/width per row with
+    probability 1 - 2^-depth overall.
+
+    Scale shape — the sketch IS the reduction (same as `hll_registers`):
+    each block folds to an exact Arrow value-count, hashes the <= D
+    distinct values into depth rows of width cells, combines map-side,
+    and ships <= depth*width tiny rows into a bucketed group-sum. The
+    corpus never shuffles. Counter tables from different shards/days
+    merge by cellwise addition (`cms_merge`) — sums commute, so the
+    merged table is bit-identical to a single-pass build.
+
+    `hash_fn="md5"`: row-d hash = md5-low64 of f"{d}:{value}" — DuckDB
+    `md5_number_lower(CONCAT(d, ':', CAST(v AS VARCHAR))) % width`, so
+    the whole counter table has an EXACT SQL oracle (the HLL
+    register-rebuild trick). `"fnv"` = vectorized production hash.
+    """
+    from ..agg import group_sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = (
+            t.select([key])
+            .group_by([key])
+            .aggregate([([], "count_all")])
+            .rename_columns([key, "cnt"])
+        )
+        vals = vc[key].to_pylist()
+        cnts = vc["cnt"].to_numpy().astype(np.int64)
+        outs = []
+        for d in range(depth):
+            cell = _cms_cells(vals, d, width, hash_fn)
+            outs.append(
+                pa.table(
+                    {
+                        "d": pa.array(np.full(len(vals), d, np.int32)),
+                        "cell": pa.array(cell),
+                        "cnt": pa.array(cnts),
+                    }
+                )
+            )
+        merged = pa.concat_tables(outs)
+        g = merged.group_by(["d", "cell"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["d", "cell", "cnt"])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return group_sum(parts, ["d", "cell"], "cnt", num_buckets=num_buckets)
+
+
+def _cms_cells(vals: list, d: int, width: int, hash_fn: str) -> np.ndarray:
+    """Row-d cell index per value (int32)."""
+    if hash_fn == "md5":
+        h = _md5_low64([f"{d}:{v}" for v in vals])
+    else:
+        from ..edges import stable_hash
+
+        h = stable_hash(np.array([f"{d}:{v}" for v in vals], object))
+    return (h % np.uint64(width)).astype(np.int32)
+
+
+def cms_merge(tables: list[pa.Table]) -> pa.Table:
+    """Cellwise-sum partial counter tables (per shard / day / source)
+    into one. Input/output are the TINY materialized counter tables
+    (<= depth*width rows each), never data-sized."""
+    t = pa.concat_tables(tables)
+    g = t.group_by(["d", "cell"]).aggregate([("cnt", "sum")])
+    return g.rename_columns(["d", "cell", "cnt"])
+
+
+def cms_estimate(
+    counters: rd.Dataset | pa.Table,
+    values: list,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+) -> np.ndarray:
+    """Point-frequency estimates: min over depth rows of the value's
+    cell counters. Materializes only the counter table (bounded at
+    depth*width rows — never data-sized)."""
+    if isinstance(counters, rd.Dataset):
+        tabs = list(_iter_tables(counters))
+        counters = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.table(
+                {
+                    "d": pa.array([], pa.int32()),
+                    "cell": pa.array([], pa.int32()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        )
+    dense = np.zeros((depth, width), np.int64)
+    dense[counters["d"].to_numpy(), counters["cell"].to_numpy()] = (
+        counters["cnt"].to_numpy()
+    )
+    est = np.full(len(values), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        cells = _cms_cells(values, d, width, hash_fn)
+        est = np.minimum(est, dense[d, cells])
+    return est
+
+
+def _iter_tables(ds: rd.Dataset):
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        yield b

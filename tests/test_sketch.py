@@ -347,3 +347,78 @@ def test_heavy_hitters_sketch_regime_bound(ray_session):
     assert 9999 in set(got["v"])  # freq 25% >> N/(capacity+1)
     # MG guarantee needs the summary itself bounded, not just the top-k
     assert len(got) <= 5
+
+
+# ----------------------------------------------------- count-min sketch
+
+
+def test_cms_overestimates_and_exact_without_collisions(ray_session):
+    """est >= true always; with width >> distinct and no observed
+    collisions, est == true exactly."""
+    from pregel_ray.ops.sketch import cms_counters, cms_estimate
+
+    rng = np.random.default_rng(7)
+    vals = np.repeat(np.arange(30), rng.integers(1, 40, 30))
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(5)
+    counters = cms_counters(ds, "v", depth=4, width=4096)
+    true = pd.Series(vals).value_counts()
+    qs = list(range(30)) + [777]  # 777 never occurs
+    est = cms_estimate(counters, qs, depth=4, width=4096)
+    for v, e in zip(qs, est):
+        t = int(true.get(v, 0))
+        assert e >= t, (v, e, t)
+    # 30 distinct into 4096 cells x 4 independent rows: a collision in
+    # EVERY row is ~impossible; the min over rows is exact here
+    assert all(int(e) == int(true.get(v, 0)) for v, e in zip(qs, est))
+
+
+def test_cms_merge_law(ray_session):
+    """Counters built per half then cms_merge'd == one-pass counters
+    (cellwise sums commute)."""
+    from pregel_ray.ops.sketch import cms_counters, cms_merge
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 200, 4000)
+    whole = rd.from_arrow(pa.table({"v": vals})).repartition(4)
+    h1 = rd.from_arrow(pa.table({"v": vals[:1500]})).repartition(3)
+    h2 = rd.from_arrow(pa.table({"v": vals[1500:]})).repartition(2)
+
+    def dense(t):
+        df = t.to_pandas().sort_values(["d", "cell"]).reset_index(drop=True)
+        return df
+
+    one = dense(pa.concat_tables(
+        cms_counters(whole, "v", depth=3, width=64)
+        .to_pandas().pipe(lambda d: [pa.Table.from_pandas(d)])))
+    merged = dense(cms_merge([
+        pa.Table.from_pandas(cms_counters(h1, "v", depth=3, width=64).to_pandas()),
+        pa.Table.from_pandas(cms_counters(h2, "v", depth=3, width=64).to_pandas()),
+    ]))
+    pd.testing.assert_frame_equal(
+        one.astype(np.int64), merged.astype(np.int64))
+
+
+def test_cms_layout_independent_and_bound(ray_session):
+    """Block layout never changes the counter table; in the collision
+    regime (tiny width) estimates still satisfy true <= est <= N."""
+    from pregel_ray.ops.sketch import cms_counters, cms_estimate
+
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 500, 3000)
+    a = cms_counters(
+        rd.from_arrow(pa.table({"v": vals})).repartition(2), "v",
+        depth=4, width=32,
+    ).to_pandas().sort_values(["d", "cell"]).reset_index(drop=True)
+    b = cms_counters(
+        rd.from_arrow(pa.table({"v": vals})).repartition(11), "v",
+        depth=4, width=32,
+    ).to_pandas().sort_values(["d", "cell"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # per-row totals are all mass: each depth row sums to N
+    assert (a.groupby("d")["cnt"].sum() == len(vals)).all()
+    true = pd.Series(vals).value_counts()
+    est = cms_estimate(pa.Table.from_pandas(a), list(range(500)),
+                       depth=4, width=32)
+    for v, e in zip(range(500), est):
+        assert int(true.get(v, 0)) <= e <= len(vals)
