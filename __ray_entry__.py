@@ -1326,9 +1326,17 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
         return cms_counters(ev, "user_id", depth=4, width=1024)
 
+    def colloc(sf_dir):
+        # top-50 PMI collocations; pmi_ppm floored from the same double
+        # ops in the same order as the SQL (the bigram-LM exactness trick)
+        from pregel_ray.ops.text import collocations
+
+        return collocations(_docs(sf_dir), k=50, min_count=5)
+
     return {
         "x_training_corpus_e2e": corpus,
         "x_events_cms_counters": cms,
+        "x_doc_collocations_pmi": colloc,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1530,6 +1538,31 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # top-50 PMI collocations over the bigram stream; positional
+        # first/second counts, min_count 5, pmi floored to int ppm from
+        # the identical double expression
+        "x_doc_collocations_pmi": """
+            WITH ls AS (SELECT string_split(text, ' ') AS toks
+                        FROM documents),
+                 bg AS (SELECT toks[n] AS w1, toks[n + 1] AS w2
+                        FROM ls, LATERAL (SELECT unnest(generate_series(
+                            1, len(toks) - 1)) AS n)),
+                 nt AS (SELECT count(*) AS n FROM bg),
+                 cb AS (SELECT w1, w2, count(*) AS cxy FROM bg
+                        GROUP BY w1, w2 HAVING count(*) >= 5),
+                 c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+                 c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
+                 sc AS (SELECT cb.w1, cb.w2, CAST(cb.cxy AS BIGINT) AS cxy,
+                               CAST(floor(ln(CAST(cb.cxy AS DOUBLE)
+                                    * CAST(nt.n AS DOUBLE)
+                                    / (CAST(c1.c1 AS DOUBLE)
+                                       * CAST(c2.c2 AS DOUBLE)))
+                                    * 1000000.0) AS BIGINT) AS pmi_ppm
+                        FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2)
+                        CROSS JOIN nt),
+                 r AS (SELECT *, ROW_NUMBER() OVER (
+                           ORDER BY pmi_ppm DESC, w1, w2) AS rn FROM sc)
+            SELECT w1, w2, cxy, pmi_ppm FROM r WHERE rn <= 50""",
         # Count-Min counter table rebuilt cell-by-cell: row-d hash is
         # md5_number_lower(d ':' value) % width — exact, like the HLL
         # register oracle

@@ -399,6 +399,32 @@ def grouped_topk(
     )
 
 
+def _bigram_explode(t: pa.Table) -> pa.Table:
+    """(doc_id, w1, w2) rows for every consecutive whitespace-token pair
+    — batch-safe via list_parent_indices (a doc is one row, so pairs
+    never cross docs). Shared by bigram_lm_scores and collocations."""
+    toks = pc.split_pattern(t["text"], " ").combine_chunks()
+    flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "w1": pa.array([], pa.string()),
+         "w2": pa.array([], pa.string())}
+    )
+    if len(flat) < 2:
+        return empty
+    same = parent[:-1] == parent[1:]
+    if not same.any():
+        return empty
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[parent[:-1][same]]),
+            "w1": pa.array(flat[:-1][same], pa.string()),
+            "w2": pa.array(flat[1:][same], pa.string()),
+        }
+    )
+
+
 def bigram_lm_scores(docs: rd.Dataset, n_vocab: int | None = None) -> rd.Dataset:
     """(doc_id, n_bigrams, lm_ppm): per-document add-one-smoothed bigram
     language-model score — the LM-based quality-filtering shape of a
@@ -420,27 +446,7 @@ def bigram_lm_scores(docs: rd.Dataset, n_vocab: int | None = None) -> rd.Dataset
     have no bigrams and no row."""
     from ..agg import bucketed_join, distinct, group_count, grouped_apply
 
-    def _bigrams(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ").combine_chunks()
-        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        empty = pa.table(
-            {"doc_id": pa.array([], pa.int64()), "w1": pa.array([], pa.string()),
-             "w2": pa.array([], pa.string())}
-        )
-        if len(flat) < 2:
-            return empty
-        same = parent[:-1] == parent[1:]
-        if not same.any():
-            return empty
-        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids[parent[:-1][same]]),
-                "w1": pa.array(flat[:-1][same], pa.string()),
-                "w2": pa.array(flat[1:][same], pa.string()),
-            }
-        )
+    _bigrams = _bigram_explode
 
     # materialize once: bg feeds THREE consumers (cb, c1, the score join)
     # and would otherwise re-run the explode per consumer; also lets the
@@ -489,6 +495,83 @@ def bigram_lm_scores(docs: rd.Dataset, n_vocab: int | None = None) -> rd.Dataset
 
     return grouped_apply(scored.select_columns(["doc_id", "lp_ppm"]),
                          ["doc_id"], _doc_sum)
+
+
+def collocations(
+    docs: rd.Dataset, k: int = 50, min_count: int = 5
+) -> rd.Dataset:
+    """(w1, w2, cxy, pmi_ppm): top-k collocation bigrams by pointwise
+    mutual information (Church & Hanks 1990) — statistical phrase mining
+    over a training corpus. Positional PMI over the bigram stream:
+
+        pmi = ln( cxy · N / (c1(w1) · c2(w2)) )
+
+    with N = total bigrams, c1/c2 = first-/second-position counts;
+    `min_count` drops rare pairs (PMI's classic low-frequency blowup).
+    pmi_ppm = floor(pmi · 1e6) as int64 — same double ops in the same
+    order as the SQL oracle (the tfidf/bigram-LM exactness trick).
+    Order: pmi_ppm desc, then (w1, w2) asc; rank <= k.
+
+    Shape: ONE bigram explode (materialized — it feeds cb/c1/c2 and N)
+    → three map-side-combined bucketed counts → cb filtered to
+    min_count BEFORE the two bucketed joins attach c1 and c2 (the
+    filter shrinks the join probe side, never the build side) → per-
+    block top-k partials (<= k rows per block ship) → one tiny global
+    sort. Nothing corpus-sized lands in one place."""
+    from ..agg import bucketed_join, group_count
+
+    bg = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_bigram_explode, batch_format="pyarrow")
+        .materialize()
+    )
+    out_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()),
+         ("cxy", pa.int64()), ("pmi_ppm", pa.int64())]
+    )
+    n_total = bg.count()
+    if n_total == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    cb = group_count(bg.select_columns(["w1", "w2"]), ["w1", "w2"], alias="cxy")
+    c1 = group_count(bg.select_columns(["w1"]), ["w1"], alias="c1")
+    c2 = group_count(bg.select_columns(["w2"]), ["w2"], alias="c2")
+    cb = cb.filter(expr=f"cxy >= {int(min_count)}")
+
+    joined = bucketed_join(bucketed_join(cb, c1, ["w1"]), c2, ["w2"])
+    N = float(n_total)
+
+    def _score(t: pa.Table) -> pa.Table:
+        cxy = t["cxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1v = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2v = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.floor(np.log(cxy * N / (c1v * c2v)) * 1_000_000.0)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "cxy": t["cxy"],
+                "pmi_ppm": pa.array(pmi.astype(np.int64)),
+            }
+        )
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+
+    def _block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("pmi_ppm", "descending"), ("w1", "ascending"),
+                ("w2", "ascending"),
+            ],
+        )
+        return t.take(idx[:k])
+
+    return (
+        scored.map_batches(_block_topk, batch_format="pyarrow")
+        .sort(["pmi_ppm", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
 
 
 def tfidf_top_terms(docs: rd.Dataset, k: int = 3, n_docs: int | None = None) -> rd.Dataset:

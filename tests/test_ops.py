@@ -869,3 +869,62 @@ def test_kmeans_clusters_recovers_planted_clusters(ray_session):
     assert (purity >= 0.95).all(), purity
     assert out.groupby("true")["cluster_id"].nunique().le(2).all()
     assert (out["cos"] > 0.8).mean() > 0.95
+
+
+def test_collocations_vs_python(ray_session):
+    """Planted phrase 'ACME corp' co-occurs far above chance → top PMI;
+    every (cxy, pmi_ppm) matches a straight-line numpy recompute."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import collocations
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(80):
+        toks = list(rng.choice(vocab, 12))
+        if i % 2 == 0:
+            toks[3:3] = ["ACME", "corp"]  # planted collocation
+        texts.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (collocations(rd.from_arrow(t).repartition(5), k=10, min_count=3)
+           .to_pandas())
+
+    # straight-line truth
+    bgs = []
+    for txt in texts:
+        ws = txt.split(" ")
+        bgs += list(zip(ws[:-1], ws[1:]))
+    N = len(bgs)
+    cb = pd.Series(bgs).value_counts()
+    c1 = pd.Series([a for a, _ in bgs]).value_counts()
+    c2 = pd.Series([b for _, b in bgs]).value_counts()
+    rows = []
+    for (a, b), cxy in cb.items():
+        if cxy >= 3:
+            pmi = math.floor(
+                math.log(float(cxy) * float(N) / (float(c1[a]) * float(c2[b])))
+                * 1_000_000.0)
+            rows.append((a, b, int(cxy), pmi))
+    want = (pd.DataFrame(rows, columns=["w1", "w2", "cxy", "pmi_ppm"])
+            .sort_values(["pmi_ppm", "w1", "w2"],
+                         ascending=[False, True, True], kind="mergesort")
+            .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    assert tuple(got.iloc[0][["w1", "w2"]]) == ("ACME", "corp")
+
+
+def test_collocations_empty_and_short(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import collocations
+
+    one_tok = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["solo", "alone"])}))
+    assert collocations(one_tok).count() == 0
