@@ -1333,10 +1333,17 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return collocations(_docs(sf_dir), k=50, min_count=5)
 
+    def chunks(sf_dir):
+        # RAG/embedding-prep chunking: 40-token windows, 10 shared
+        from pregel_ray.ops.text import chunk_documents
+
+        return chunk_documents(_docs(sf_dir), size=40, overlap=10)
+
     return {
         "x_training_corpus_e2e": corpus,
         "x_events_cms_counters": cms,
         "x_doc_collocations_pmi": colloc,
+        "x_doc_chunks_40_10": chunks,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1538,6 +1545,19 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # fixed-size token chunking with overlap (size 40 stride 30);
+        # a trailing window is emitted only if it adds a new token
+        "x_doc_chunks_40_10": """
+            WITH ls AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+                 st AS (SELECT doc_id, toks,
+                               unnest(generate_series(1, len(toks), 30)) AS s
+                        FROM ls)
+            SELECT doc_id, CAST((s - 1) / 30 AS BIGINT) AS chunk_id,
+                   CAST(least(s + 39, len(toks)) - s + 1 AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(toks[s : s + 39], ' ') AS chunk_text
+            FROM st WHERE s = 1 OR s <= len(toks) - 40 + 30""",
         # top-50 PMI collocations over the bigram stream; positional
         # first/second counts, min_count 5, pmi floored to int ppm from
         # the identical double expression

@@ -574,6 +574,74 @@ def collocations(
     )
 
 
+def chunk_documents(
+    docs: rd.Dataset, size: int = 100, overlap: int = 20
+) -> rd.Dataset:
+    """(doc_id, chunk_id, n_tokens, chunk_text): split each document
+    into fixed-size whitespace-token windows with `overlap` shared
+    tokens between neighbors — the embedding/RAG preprocessing staple.
+    Chunk starts at stride = size - overlap offsets; a trailing window
+    is emitted only if it contributes at least one new token (so no
+    chunk is a strict suffix-copy of its predecessor).
+
+    Shape: pure per-block flat-map — zero shuffle. Fully vectorized:
+    one split per block, chunk spans materialized as a single gather
+    index (repeat/cumsum arithmetic, no per-doc loop), tokens re-joined
+    with pc.binary_join on a ListArray view. Output rows carry doc_id
+    so downstream embed/dedup stages can bucket by document."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = pc.list_flatten(toks)
+        doc_off = np.asarray(toks.offsets)  # len = ndocs+1
+        doc_off = doc_off - doc_off[0]  # sliced arrays carry an offset
+        lens = np.diff(doc_off)
+        # chunks per doc: 1 + ceil(max(0, len - size) / stride)
+        n_chunks = 1 + (np.maximum(lens - size, 0) + stride - 1) // stride
+        if len(lens) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+        # 0-based chunk ordinal within its doc
+        ordinal = np.arange(len(doc_idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        start = ordinal * stride  # token offset within the doc
+        end = np.minimum(start + size, lens[doc_idx])  # exclusive
+        span = end - start
+        # one big gather: flat-token indices for every chunk
+        idx = np.repeat(doc_off[:-1][doc_idx] + start, span) + (
+            np.arange(int(span.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(span)[:-1]]), span
+            )
+        )
+        chunk_offsets = np.concatenate([[0], np.cumsum(span)]).astype(np.int32)
+        taken = pc.take(flat, pa.array(idx, pa.int64()))
+        lists = pa.ListArray.from_arrays(pa.array(chunk_offsets), taken)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[doc_idx]),
+                "chunk_id": pa.array(ordinal.astype(np.int64)),
+                "n_tokens": pa.array(span.astype(np.int64)),
+                "chunk_text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _chunks, batch_format="pyarrow"
+    )
+
+
 def tfidf_top_terms(docs: rd.Dataset, k: int = 3, n_docs: int | None = None) -> rd.Dataset:
     """(doc_id, token, score_ppm): each document's top-k tokens by
     tf·idf, idf = ln(N/df), score integer-scaled to ppm via floor so the

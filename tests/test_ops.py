@@ -928,3 +928,52 @@ def test_collocations_empty_and_short(ray_session):
         {"doc_id": pa.array([1, 2], pa.int64()),
          "text": pa.array(["solo", "alone"])}))
     assert collocations(one_tok).count() == 0
+
+
+def test_chunk_documents_vs_python(ray_session):
+    """Chunk spans, ids, and re-joined text match a straight-line
+    Python chunker; trailing no-new-token windows are suppressed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.text import chunk_documents
+
+    rng = np.random.default_rng(23)
+    texts = [
+        " ".join(f"t{j}" for j in range(n))
+        for n in [1, 3, 4, 5, 10, 11, 39, 40, 41, 100]
+    ] + [" ".join(rng.choice([f"w{i}" for i in range(9)], 57))]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (chunk_documents(rd.from_arrow(t).repartition(4), size=4, overlap=2)
+           .to_pandas()
+           .sort_values(["doc_id", "chunk_id"], ignore_index=True))
+
+    rows = []
+    for did, txt in enumerate(texts):
+        ws = txt.split(" ")
+        s, cid = 0, 0
+        while True:
+            chunk = ws[s:s + 4]
+            rows.append((did, cid, len(chunk), " ".join(chunk)))
+            if s + 4 >= len(ws):
+                break
+            s, cid = s + 2, cid + 1
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "n_tokens", "chunk_text"]
+    ).astype({"doc_id": np.int64, "chunk_id": np.int64, "n_tokens": np.int64})
+    pd.testing.assert_frame_equal(got, want)
+    # overlap invariant: consecutive chunks share exactly `overlap`
+    # tokens except the (possibly shorter) tail
+    g = want[want["doc_id"] == 10]
+    for a, b in zip(g["chunk_text"], g["chunk_text"][1:]):
+        assert a.split(" ")[2:] == b.split(" ")[:2]
+
+
+def test_chunk_documents_validates(ray_session):
+    import pytest as _pytest
+
+    from pregel_ray.ops.text import chunk_documents
+
+    with _pytest.raises(ValueError):
+        chunk_documents(None, size=4, overlap=4)
