@@ -60,9 +60,11 @@ def _graph_cte() -> str:
     )
 
 
-def _pagerank_sql(iters: int) -> str:
+def _pagerank_sql(iters: int, graph_cte: str | None = None) -> str:
     """Unrolled power iteration (DuckDB recursive CTEs cannot aggregate in
-    the recursive term) — semantics identical to algorithms/pagerank.py."""
+    the recursive term) — semantics identical to algorithms/pagerank.py.
+    `graph_cte` swaps the graph source (must define e/v/nv/en/dangling);
+    default is the transcript link graph."""
     ctes = ["pr0 AS MATERIALIZED (SELECT v.name, 1.0/nv.n AS rank FROM v CROSS JOIN nv)"]
     for k in range(1, iters + 1):
         prev = f"pr{k - 1}"
@@ -77,9 +79,37 @@ def _pagerank_sql(iters: int) -> str:
                FROM en JOIN {prev} p ON p.name = en.src_name
                GROUP BY en.dst_name) r ON r.nm = v.name)""")
     return (
-        "WITH " + _graph_cte() + ", " + ",".join(ctes)
+        "WITH " + (graph_cte or _graph_cte()) + ", " + ",".join(ctes)
         + f"\nSELECT name, ROUND(rank, 6) AS rank FROM pr{iters}"
     )
+
+
+def _token_graph_cte() -> str:
+    """Token co-occurrence graph for the TextRank oracle: adjacent
+    whitespace tokens, self-loops dropped, symmetric (both directions),
+    w = co-occurrence count — identical to pipelines.textrank_keywords'
+    pair derivation. Defines the same e/v/nv/en/dangling surface
+    _graph_cte does, so _pagerank_sql unrolls over it unchanged."""
+    return """
+  ls AS MATERIALIZED (SELECT string_split(text, ' ') AS toks
+                      FROM documents),
+  bgp AS MATERIALIZED (SELECT toks[n] AS a, toks[n + 1] AS b
+        FROM ls, LATERAL (SELECT unnest(generate_series(
+            1, len(toks) - 1)) AS n)
+        WHERE toks[n] <> toks[n + 1]),
+  e AS MATERIALIZED (SELECT src_name, dst_name,
+                            CAST(COUNT(*) AS DOUBLE) AS w
+        FROM (SELECT a AS src_name, b AS dst_name FROM bgp
+              UNION ALL SELECT b AS src_name, a AS dst_name FROM bgp)
+        GROUP BY src_name, dst_name),
+  v AS MATERIALIZED (SELECT DISTINCT name FROM
+        (SELECT src_name AS name FROM e UNION ALL SELECT dst_name FROM e)),
+  nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+  en AS MATERIALIZED (SELECT src_name, dst_name,
+                      w / SUM(w) OVER (PARTITION BY src_name) AS p FROM e),
+  dangling AS MATERIALIZED (SELECT name FROM v
+               WHERE name NOT IN (SELECT DISTINCT src_name FROM e))
+"""
 
 
 def _ppr_sql(iters: int, sources: tuple[str, ...]) -> str:
@@ -1339,11 +1369,19 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return chunk_documents(_docs(sf_dir), size=40, overlap=10)
 
+    def textrank(sf_dir):
+        # the engine on a SECOND graph domain: token co-occurrence →
+        # weighted PageRank (20 fixed iters) → top-30 keywords
+        from pregel_ray import pipelines
+
+        return pipelines.textrank_keywords(sf_dir, k=30)
+
     return {
         "x_training_corpus_e2e": corpus,
         "x_events_cms_counters": cms,
         "x_doc_collocations_pmi": colloc,
         "x_doc_chunks_40_10": chunks,
+        "x_doc_textrank_keywords": textrank,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1545,6 +1583,15 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # TextRank keywords: the unrolled PageRank oracle over the token
+        # co-occurrence graph CTE (same e/v/nv/en/dangling surface)
+        "x_doc_textrank_keywords": (
+            "SELECT name AS token, rank FROM ("
+            "SELECT name, rank, ROW_NUMBER() OVER "
+            "(ORDER BY rank DESC, name) AS rn FROM ("
+            + _pagerank_sql(20, graph_cte=_token_graph_cte())
+            + ")) WHERE rn <= 30"
+        ),
         # fixed-size token chunking with overlap (size 40 stride 30);
         # a trailing window is emitted only if it adds a new token
         "x_doc_chunks_40_10": """

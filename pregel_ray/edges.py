@@ -249,13 +249,31 @@ def build_graph_tables(
     Resumable: if graph_dir/_SUCCESS exists the build is skipped entirely.
     """
     success = os.path.join(graph_dir, "_SUCCESS")
+    if os.path.exists(success):
+        with open(os.path.join(graph_dir, "meta.json")) as f:
+            return json.load(f)
+    return build_graph_tables_from_pairs(
+        derive_pairs(transcripts, cfg), graph_dir, cfg
+    )
+
+
+def build_graph_tables_from_pairs(
+    pairs: rd.Dataset, graph_dir: str, cfg: EngineConfig
+) -> dict:
+    """Stage-1 from an ALREADY-DERIVED weighted named edge table
+    (src_name, dst_name, w) — any domain whose entities can be named
+    strings gets the whole engine this way (e.g. pipelines.textrank's
+    token co-occurrence graph). Same layout, caching and partition
+    invariants as build_graph_tables; `pairs` must be pre-combined
+    (one row per directed pair)."""
+    success = os.path.join(graph_dir, "_SUCCESS")
     meta_path = os.path.join(graph_dir, "meta.json")
     if os.path.exists(success):
         with open(meta_path) as f:
             return json.load(f)
 
     os.makedirs(graph_dir, exist_ok=True)
-    pairs = derive_pairs(transcripts, cfg).materialize()
+    pairs = pairs.materialize()
     vertices = encode_vertices(pairs, cfg).materialize()
     n_vertices = vertices.count()
     edges = encode_edges(pairs, vertices, cfg, n_vertices=n_vertices)

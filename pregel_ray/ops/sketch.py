@@ -1,12 +1,17 @@
-"""Distributed sketches: HyperLogLog distinct-count and Bloom-filter
-join pruning.
+"""Distributed sketches: HyperLogLog distinct-count, Bloom-filter join
+pruning, Misra-Gries heavy hitters, and Count-Min point frequencies.
 
 The reference has no sketches at all (SURVEY.md §2.9 "sketches /
 approximate aggregates: none"), but a 100 TB training-data pipeline
 needs cardinality estimates (how many distinct users/URLs/shingles)
-without a full `COUNT(DISTINCT)` shuffle, and Bloom pre-filters to keep
-non-matching rows out of join shuffles. Both sketches here follow the
-published algorithms (Flajolet et al. 2007 HyperLogLog; Bloom 1970).
+without a full `COUNT(DISTINCT)` shuffle, Bloom pre-filters to keep
+non-matching rows out of join shuffles, frequent-item summaries
+(heavy_hitters), and mergeable point-frequency estimates
+(cms_counters). All follow the published algorithms (Flajolet et al.
+2007 HyperLogLog; Bloom 1970; Misra & Gries 1982; Cormode &
+Muthukrishnan 2005), and all share one scale shape: the sketch IS the
+reduction — per-block partials bounded by the sketch size, map-side
+combined, one tiny bucketed merge; the corpus itself never shuffles.
 
 Determinism contract: both sketches are pure functions of the data —
 no RNG, no layout dependence — so HLL registers have an EXACT DuckDB

@@ -599,3 +599,70 @@ def training_corpus(
         unique, "doc_id", {"train": train_frac, "rest": 1.0 - train_frac}
     ).map_batches(_keep_train, batch_format="pyarrow")
     return pack_sequences(train, seq_len=seq_len)
+
+
+def textrank_keywords(
+    sf_dir: str, k: int = 30, iters: int = PAGERANK_FIXED_ITERS
+) -> rd.Dataset:
+    """(token, rank): TextRank keyword extraction (Mihalcea & Tarau
+    2004) — the engine run on a SECOND graph domain. Adjacent
+    whitespace tokens form a symmetric co-occurrence graph (self-loops
+    dropped, w = co-occurrence count, both directions emitted), built
+    through `build_graph_tables_from_pairs` into the same partition-
+    aligned CSR layout the transcript graph uses, then weighted
+    PageRank runs `iters` fixed power iterations on the BSP engine;
+    top-k by (rank round6 desc, token asc) — matched by the unrolled
+    SQL oracle over the identical token-graph CTE.
+
+    Scale shape: bigram explode is a zero-shuffle flat-map; the
+    symmetric pair table is map-side-combined (group_sum); everything
+    after is the engine's own bounded-shuffle machinery. Cached under
+    the scale's fixture root like every other graph build."""
+    from .agg import group_sum
+    from .algorithms import PageRank
+    from .edges import build_graph_tables_from_pairs
+    from .ops.text import _bigram_explode
+
+    cfg = default_cfg()
+    root = os.path.dirname(transcripts_path(sf_dir))
+    work = os.path.join(root, "textrank")
+
+    import pyarrow.compute as pc
+
+    def _sym(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["w1"], t["w2"])))
+        a = t["w1"].combine_chunks()
+        b = t["w2"].combine_chunks()
+        return pa.table(
+            {
+                "src_name": pa.concat_arrays([a, b]),
+                "dst_name": pa.concat_arrays([b, a]),
+                "w": pa.array(np.ones(2 * t.num_rows, np.float64)),
+            }
+        )
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = group_sum(
+        docs.map_batches(_bigram_explode, batch_format="pyarrow")
+        .map_batches(_sym, batch_format="pyarrow"),
+        ["src_name", "dst_name"], "w",
+        num_buckets=max(32, cfg.num_buckets),
+    )
+    graph_dir = os.path.join(work, "graph")
+    meta = build_graph_tables_from_pairs(pairs, graph_dir, cfg)
+    cfg.num_parts = meta["num_parts"]
+    edges = _read_parquet(os.path.join(graph_dir, "edges"))
+    verts = _read_parquet(os.path.join(graph_dir, "vertices"))
+    ss = build_shards(edges, verts, os.path.join(work, "shards"), cfg,
+                      variant=DIRECTED)
+    res = Engine(ss, cfg).run(
+        PageRank(damping=PAGERANK_DAMPING, tol=0.0, max_iters=iters),
+        run_dir=os.path.join(work, f"run_tr_{iters}"),
+    )
+    nm = NameMap(graph_dir, cfg, meta["n_vertices"])
+    named = nm.rename(
+        res.vertex_table().map_batches(_round_rank, batch_format="pyarrow"),
+        {"token": "vid"}, keep=["rank"],
+    )
+    return named.sort(["rank", "token"], descending=[True, False]).limit(k)

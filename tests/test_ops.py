@@ -977,3 +977,41 @@ def test_chunk_documents_validates(ray_session):
 
     with _pytest.raises(ValueError):
         chunk_documents(None, size=4, overlap=4)
+
+
+def test_build_graph_tables_from_pairs_and_textrank(ray_session, tmp_path):
+    """The pairs-level graph-build entry: a hand graph round-trips with
+    the partition invariants intact, and TextRank (values pinned by the
+    x_doc_textrank_keywords SQL gate row) is cache-stable."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.config import EngineConfig
+    from pregel_ray.edges import build_graph_tables_from_pairs, stable_hash
+    from pregel_ray.io_util import read_parquet
+
+    pairs = rd.from_arrow(pa.table({
+        "src_name": ["a", "b", "c", "a"],
+        "dst_name": ["b", "c", "a", "c"],
+        "w": [1.0, 2.0, 1.0, 1.0],
+    }))
+    cfg = EngineConfig(num_parts=4, num_buckets=4)
+    gd = str(tmp_path / "g")
+    meta = build_graph_tables_from_pairs(pairs, gd, cfg)
+    assert meta["n_vertices"] == 3 and meta["n_edges"] == 4
+    v = read_parquet(f"{gd}/vertices").to_pandas()
+    # invariant: vid = local_rank * P + part, part = stable_hash(name) % P
+    for _, r in v.iterrows():
+        # NB: int() first — np.uint64 % python-int promotes to float64
+        assert r["part"] == int(stable_hash([r["name"]])[0]) % 4
+        assert r["vid"] % 4 == r["part"]
+    # _SUCCESS short-circuit returns identical meta without rebuilding
+    assert build_graph_tables_from_pairs(pairs, gd, cfg) == meta
+
+    from pregel_ray.pipelines import textrank_keywords
+
+    a = textrank_keywords("/root/testdata/sf0.001", k=10).to_pandas()
+    b = textrank_keywords("/root/testdata/sf0.001", k=10).to_pandas()
+    assert len(a) == 10
+    assert (a["rank"].values[:-1] >= a["rank"].values[1:]).all()
+    pd.testing.assert_frame_equal(a, b)  # cached graph + deterministic run
