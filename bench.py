@@ -176,6 +176,9 @@ def run_bench() -> dict:
             ("x_emb_knn_graph", "knn_graph"),
             ("x_graph_random_walks", "random_walks"),
             ("x_training_corpus_e2e", "training_corpus"),
+            ("x_doc_collocations_pmi", "collocations"),
+            ("x_doc_chunks_40_10", "chunking"),
+            ("x_doc_textrank_keywords", "textrank"),
         ):
             t0 = time.monotonic()
             r = qs[name](sf_dir)

@@ -404,23 +404,27 @@ def _bigram_explode(t: pa.Table) -> pa.Table:
     — batch-safe via list_parent_indices (a doc is one row, so pairs
     never cross docs). Shared by bigram_lm_scores and collocations."""
     toks = pc.split_pattern(t["text"], " ").combine_chunks()
-    flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+    flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()), "w1": pa.array([], pa.string()),
          "w2": pa.array([], pa.string())}
     )
-    if len(flat) < 2:
+    n = len(flat)
+    if n < 2:
         return empty
     same = parent[:-1] == parent[1:]
     if not same.any():
         return empty
+    # zero-copy pairing: shifted Arrow slices + one filter — tokens never
+    # round-trip through Python objects
+    mask = pa.array(same)
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids[parent[:-1][same]]),
-            "w1": pa.array(flat[:-1][same], pa.string()),
-            "w2": pa.array(flat[1:][same], pa.string()),
+            "w1": pc.filter(flat.slice(0, n - 1), mask),
+            "w2": pc.filter(flat.slice(1, n - 1), mask),
         }
     )
 
@@ -512,31 +516,36 @@ def collocations(
     order as the SQL oracle (the tfidf/bigram-LM exactness trick).
     Order: pmi_ppm desc, then (w1, w2) asc; rank <= k.
 
-    Shape: ONE bigram explode (materialized — it feeds cb/c1/c2 and N)
-    → three map-side-combined bucketed counts → cb filtered to
-    min_count BEFORE the two bucketed joins attach c1 and c2 (the
-    filter shrinks the join probe side, never the build side) → per-
-    block top-k partials (<= k rows per block ship) → one tiny global
-    sort. Nothing corpus-sized lands in one place."""
-    from ..agg import bucketed_join, group_count
+    Shape: ONE bigram explode feeds ONE map-side-combined bucketed
+    count (the only corpus-wide shuffle); c1, c2 and N all derive FROM
+    that pair-count table (c1(w1) = Σ_w2 cxy, N = Σ cxy — the tfidf
+    df-from-tf trick, so the marginals shuffle vocab²-bounded rows,
+    never the bigram stream). cb is filtered to min_count only on the
+    join probe side → two bucketed joins attach the marginals →
+    per-block top-k partials (<= k rows per block ship) → one tiny
+    global sort. Nothing corpus-sized lands in one place."""
+    from ..agg import bucketed_join, group_count, group_sum
 
-    bg = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(_bigram_explode, batch_format="pyarrow")
-        .materialize()
+    bg = docs.select_columns(["doc_id", "text"]).map_batches(
+        _bigram_explode, batch_format="pyarrow"
     )
     out_schema = pa.schema(
         [("w1", pa.string()), ("w2", pa.string()),
          ("cxy", pa.int64()), ("pmi_ppm", pa.int64())]
     )
-    n_total = bg.count()
+    # the single corpus-wide shuffle; materialized — it feeds c1/c2/N/cb
+    cb_all = group_count(
+        bg.select_columns(["w1", "w2"]), ["w1", "w2"], alias="cxy"
+    ).materialize()
+    n_total = int(cb_all.sum("cxy") or 0)
     if n_total == 0:
         return rd.from_arrow(out_schema.empty_table())
 
-    cb = group_count(bg.select_columns(["w1", "w2"]), ["w1", "w2"], alias="cxy")
-    c1 = group_count(bg.select_columns(["w1"]), ["w1"], alias="c1")
-    c2 = group_count(bg.select_columns(["w2"]), ["w2"], alias="c2")
-    cb = cb.filter(expr=f"cxy >= {int(min_count)}")
+    c1 = group_sum(cb_all.select_columns(["w1", "cxy"]), ["w1"], "cxy",
+                   alias="c1")
+    c2 = group_sum(cb_all.select_columns(["w2", "cxy"]), ["w2"], "cxy",
+                   alias="c2")
+    cb = cb_all.filter(expr=f"cxy >= {int(min_count)}")
 
     joined = bucketed_join(bucketed_join(cb, c1, ["w1"]), c2, ["w2"])
     N = float(n_total)
