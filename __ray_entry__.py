@@ -1376,12 +1376,33 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return pipelines.textrank_keywords(sf_dir, k=30)
 
+    _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def pivot(sf_dir):
+        from pregel_ray.ops.relational import pivot_wider
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"])
+        return pivot_wider(ev, ["user_id"], "event_type", _EVENT_TYPES)
+
+    def melt(sf_dir):
+        # unpivot(pivot) round-trip: long rows incl. explicit zeros
+        from pregel_ray.ops.relational import pivot_wider, unpivot
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"])
+        wide = pivot_wider(ev, ["user_id"], "event_type", _EVENT_TYPES)
+        return unpivot(wide, ["user_id"], _EVENT_TYPES,
+                       name_col="event_type", value_col="n")
+
     return {
         "x_training_corpus_e2e": corpus,
         "x_events_cms_counters": cms,
         "x_doc_collocations_pmi": colloc,
         "x_doc_chunks_40_10": chunks,
         "x_doc_textrank_keywords": textrank,
+        "x_events_user_type_pivot": pivot,
+        "x_events_type_unpivot": melt,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1583,6 +1604,32 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # long → wide pivot: fixed IN-list of event types, zero-filled
+        "x_events_user_type_pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS view
+            FROM events GROUP BY user_id""",
+        # unpivot(pivot) round-trip: every (user, type) combination with
+        # an explicit zero when the user never fired that type
+        "x_events_type_unpivot": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 ty AS (SELECT unnest(['click', 'error', 'purchase',
+                                      'signup', 'view']) AS event_type),
+                 c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY user_id, event_type)
+            SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n
+            FROM u CROSS JOIN ty
+            LEFT JOIN c ON c.user_id = u.user_id
+                       AND c.event_type = ty.event_type""",
         # TextRank keywords: the unrolled PageRank oracle over the token
         # co-occurrence graph CTE (same e/v/nv/en/dangling surface)
         "x_doc_textrank_keywords": (

@@ -753,3 +753,70 @@ def supplier_nation_rollup(sf_dir: str) -> rd.Dataset:
         .groupby(["r_name", "n_name"])
         .aggregate(Count(alias_name="n_suppliers"))
     )
+
+
+def pivot_wider(
+    ds: rd.Dataset,
+    index: list[str],
+    pivot: str,
+    values: list[str],
+    value: str | None = None,
+) -> rd.Dataset:
+    """Long → wide pivot: one row per `index` key, one int64 column per
+    entry of `values` holding COUNT(*) (or SUM(`value`) when given) of
+    the rows whose `pivot` column equals it. Missing combinations fill
+    0; pivot values outside `values` are dropped (the fixed column list
+    IS the output schema — a distributed pivot cannot discover columns
+    without a pre-pass, so callers state them, like SQL PIVOT IN).
+
+    Shape: ONE map-side-combined bucketed count/sum over
+    (index..., pivot) — the only corpus-wide shuffle — then a bucketed
+    spread of the aggregated long table (≤ |index keys| × |values|
+    rows) into wide rows. Sums of integer-valued columns stay exact.
+    """
+    from ..agg import group_count, group_sum, grouped_apply
+
+    cols = list(index) + [pivot] + ([value] if value else [])
+    long_ds = ds.select_columns(cols)
+    if value is None:
+        long = group_count(long_ds, list(index) + [pivot], alias="_n")
+    else:
+        long = group_sum(long_ds, list(index) + [pivot], value, alias="_n")
+
+    vals = [str(v) for v in values]
+
+    def _spread(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[pivot].astype(str).isin(vals)]
+        w = g.pivot_table(index=list(index), columns=pivot, values="_n",
+                          aggfunc="sum", fill_value=0)
+        w.columns = [str(c) for c in w.columns]
+        w = w.reindex(columns=vals, fill_value=0)
+        return w.astype(np.int64).reset_index()
+
+    return grouped_apply(long, list(index), _spread)
+
+
+def unpivot(
+    ds: rd.Dataset,
+    index: list[str],
+    columns: list[str],
+    name_col: str = "name",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Wide → long melt: each input row yields len(columns) rows
+    (index..., name, value). Pure zero-shuffle flat-map (one Arrow
+    concat per block, no Python per-row work); the inverse of
+    `pivot_wider` up to zero-count rows."""
+
+    def _melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            cols = {k: t[k] for k in index}
+            cols[name_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = t[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(list(index) + list(columns)).map_batches(
+        _melt, batch_format="pyarrow"
+    )

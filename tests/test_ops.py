@@ -1015,3 +1015,37 @@ def test_build_graph_tables_from_pairs_and_textrank(ray_session, tmp_path):
     assert len(a) == 10
     assert (a["rank"].values[:-1] >= a["rank"].values[1:]).all()
     pd.testing.assert_frame_equal(a, b)  # cached graph + deterministic run
+
+
+def test_pivot_wider_and_unpivot(ray_session):
+    """Sum mode, multi-column index, out-of-list pivot values dropped,
+    zero fill, and the melt round-trip."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import pivot_wider, unpivot
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b", "b"],
+        "h": [1, 1, 2, 2, 2, 2],
+        "k": ["x", "y", "x", "x", "x", "zzz"],  # zzz not in values
+        "v": [10, 20, 30, 1, 2, 99],
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    wide = pivot_wider(ds, ["g", "h"], "k", ["x", "y"], value="v")
+    got = (wide.to_pandas().sort_values(["g", "h"], ignore_index=True))
+    want = pd.DataFrame({
+        "g": ["a", "a", "b"], "h": [1, 2, 2],
+        "x": [10, 30, 3], "y": [20, 0, 0],
+    }).astype({"h": np.int64, "x": np.int64, "y": np.int64})
+    pd.testing.assert_frame_equal(got[["g", "h", "x", "y"]], want)
+
+    # count mode + melt inverse (zeros included)
+    cnt = pivot_wider(ds, ["g"], "k", ["x", "y"])
+    back = (unpivot(cnt, ["g"], ["x", "y"]).to_pandas()
+            .sort_values(["g", "name"], ignore_index=True))
+    want2 = pd.DataFrame({
+        "g": ["a", "a", "b", "b"], "name": ["x", "y", "x", "y"],
+        "value": [2, 1, 2, 0],
+    }).astype({"value": np.int64})
+    pd.testing.assert_frame_equal(back, want2)
