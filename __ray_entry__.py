@@ -1376,6 +1376,14 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return pipelines.textrank_keywords(sf_dir, k=30)
 
+    def ranks(sf_dir):
+        # global ROW_NUMBER + integer-exact percent-rank over event value
+        from pregel_ray.ops.relational import global_ranks
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "value"])
+        return global_ranks(ev, ["value", "event_id"], pct=True)
+
     _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
     def pivot(sf_dir):
@@ -1403,6 +1411,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_textrank_keywords": textrank,
         "x_events_user_type_pivot": pivot,
         "x_events_type_unpivot": melt,
+        "x_events_value_ranks": ranks,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1604,6 +1613,20 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # global row ranks + integer-exact percent-rank ppm (ties broken
+        # by event_id, so ROW_NUMBER is total; (rnk-1)*1e6 // (n-1) stays
+        # in integers on both sides)
+        "x_events_value_ranks": """
+            WITH r AS (SELECT event_id, value,
+                              ROW_NUMBER() OVER (ORDER BY value, event_id)
+                                  AS rnk,
+                              COUNT(*) OVER () AS n
+                       FROM events)
+            SELECT event_id, value, rnk,
+                   CAST(CASE WHEN n > 1
+                        THEN (rnk - 1) * 1000000 // (n - 1)
+                        ELSE 0 END AS BIGINT) AS rnk_pct_ppm
+            FROM r""",
         # long → wide pivot: fixed IN-list of event types, zero-filled
         "x_events_user_type_pivot": """
             SELECT user_id,

@@ -820,3 +820,47 @@ def unpivot(
     return ds.select_columns(list(index) + list(columns)).map_batches(
         _melt, batch_format="pyarrow"
     )
+
+
+@ray.remote
+def _block_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _block_rank(t: pa.Table, base: int, n: int, out: str, pct: bool) -> pa.Table:
+    rnk = base + 1 + np.arange(t.num_rows, dtype=np.int64)
+    t = t.append_column(out, pa.array(rnk))
+    if pct:
+        # integer-exact PERCENT_RANK in ppm: (rnk-1)*1e6 // (n-1) — no
+        # float division anywhere, so the SQL oracle matches bit-for-bit
+        ppm = (rnk - 1) * 1_000_000 // (n - 1) if n > 1 else np.zeros(
+            t.num_rows, np.int64)
+        t = t.append_column(f"{out}_pct_ppm", pa.array(ppm))
+    return t
+
+
+def global_ranks(
+    ds: rd.Dataset, by: list[str], out: str = "rnk", pct: bool = False
+) -> rd.Dataset:
+    """Append the global ROW_NUMBER (1-based, ORDER BY `by`) to every
+    row — and, with `pct`, an integer-exact PERCENT_RANK in ppm
+    (`(rnk-1)*1e6 // (n-1)`), the score-normalization primitive a
+    quality-filtering pipeline thresholds on ("drop the bottom decile").
+    `by` should end in a unique tiebreak column so the order (and hence
+    the rank) is total and deterministic.
+
+    Shape: ONE global sort is the only shuffle; ranks are per-block row
+    offsets + an in-block arange (the name_ranks / pack_sequences
+    prefix-sum pattern — Ray Data has no rank operator, the block-count
+    pass ships ≤ #blocks ints to the driver, never rows)."""
+    refs = ds.sort(by).materialize().to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(counts)])[:-1].astype(np.int64)
+    n = int(sum(counts))
+    return rd.from_arrow_refs(
+        [
+            _block_rank.remote(r, int(b), n, out, pct)
+            for r, b in zip(refs, bases)
+        ]
+    )

@@ -1049,3 +1049,29 @@ def test_pivot_wider_and_unpivot(ray_session):
         "value": [2, 1, 2, 0],
     }).astype({"value": np.int64})
     pd.testing.assert_frame_equal(back, want2)
+
+
+def test_global_ranks_vs_numpy(ray_session):
+    """Rank = lexsort position + 1 regardless of block layout; pct_ppm
+    is the integer formula; n=1 edge gives pct 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import global_ranks
+
+    rng = np.random.default_rng(41)
+    v = rng.integers(0, 50, 500).astype(np.float64)  # heavy ties
+    ids = np.arange(500, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids, "v": v})).repartition(7)
+    got = (global_ranks(ds, ["v", "id"], pct=True).to_pandas()
+           .sort_values("id", ignore_index=True))
+    order = np.lexsort((ids, v))
+    want_rnk = np.empty(500, np.int64)
+    want_rnk[order] = np.arange(1, 501)
+    np.testing.assert_array_equal(got["rnk"].to_numpy(), want_rnk)
+    np.testing.assert_array_equal(
+        got["rnk_pct_ppm"].to_numpy(), (want_rnk - 1) * 1_000_000 // 499)
+
+    one = rd.from_arrow(pa.table({"id": [1], "v": [2.0]}))
+    g1 = global_ranks(one, ["v", "id"], pct=True).to_pandas()
+    assert g1["rnk"].iloc[0] == 1 and g1["rnk_pct_ppm"].iloc[0] == 0
