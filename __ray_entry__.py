@@ -1384,6 +1384,20 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
                            columns=["event_id", "value"])
         return global_ranks(ev, ["value", "event_id"], pct=True)
 
+    def hist(sf_dir):
+        from pregel_ray.ops.relational import histogram
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        return histogram(ev, "value", 0.0, 500.0, 50)
+
+    def moments(sf_dir):
+        # integer-scaled power sums: exact distributed mean/variance
+        from pregel_ray.ops.relational import group_moments
+
+        li = _read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_quantity"])
+        return group_moments(li, ["l_returnflag"], "l_quantity", scale=100)
+
     _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
     def pivot(sf_dir):
@@ -1412,6 +1426,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_events_user_type_pivot": pivot,
         "x_events_type_unpivot": melt,
         "x_events_value_ranks": ranks,
+        "x_events_value_histogram": hist,
+        "x_lineitem_qty_moments": moments,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1613,6 +1629,24 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # fixed-width histogram, 50 bins over [0, 500), clipped edges —
+        # identical double binning expression, floor is exact
+        "x_events_value_histogram": """
+            SELECT CAST(least(greatest(
+                       floor((value - 0.0) / 10.0), 0), 49) AS BIGINT)
+                       AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY bin""",
+        # per-group count + integer-scaled power sums (q = round(v*100)):
+        # exact distributed mean/variance, no float-sum order caveat
+        "x_lineitem_qty_moments": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(round(l_quantity * 100) AS BIGINT) AS q
+                       FROM lineitem)
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(q * q) AS BIGINT) AS s2
+            FROM q GROUP BY l_returnflag""",
         # global row ranks + integer-exact percent-rank ppm (ties broken
         # by event_id, so ROW_NUMBER is total; (rnk-1)*1e6 // (n-1) stays
         # in integers on both sides)

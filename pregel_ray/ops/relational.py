@@ -864,3 +864,72 @@ def global_ranks(
             for r, b in zip(refs, bases)
         ]
     )
+
+
+def histogram(
+    ds: rd.Dataset, col: str, lo: float, hi: float, bins: int
+) -> rd.Dataset:
+    """(bin, cnt): fixed-width histogram of `col` over [lo, hi) with
+    out-of-range values clipped into the edge bins (SQL least/greatest
+    twin). bin = clip(floor((v - lo) / w), 0, bins-1), w = (hi-lo)/bins
+    — the identical double expression on both sides, and floor of a
+    double is exact, so counts match the oracle bit-for-bit.
+
+    Shape: a per-block binning map + ONE map-side-combined bucketed
+    count of ≤ `bins` keys — the sketch shape: the corpus never
+    shuffles, only ≤ bins×blocks partial rows do."""
+    from ..agg import group_count
+
+    w = (float(hi) - float(lo)) / bins
+
+    def _bin(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((v - float(lo)) / w), 0, bins - 1)
+        return pa.table({"bin": pa.array(b.astype(np.int64))})
+
+    return group_count(
+        ds.select_columns([col]).map_batches(_bin, batch_format="pyarrow"),
+        ["bin"], alias="cnt", num_buckets=min(32, bins),
+    )
+
+
+def group_moments(
+    ds: rd.Dataset, keys: list[str], col: str, scale: int = 100
+) -> rd.Dataset:
+    """(keys..., n, s1, s2): count and the first two integer-scaled
+    power sums of `col` per group — qi = round(col·scale) as int64,
+    s1 = Σqi, s2 = Σqi². Mean/variance/stddev derive exactly:
+    var = (n·s2 - s1²) / (n²·scale²). Integer sums are associative, so
+    the result is layout- and cluster-size-independent and the SQL
+    oracle is exact — the float-sum-order problem engineered away (the
+    bigram-LM int-ppm trick, aggregate edition). int64 bound: s2 needs
+    n·(max|col|·scale)² < 2^63 — raise/lower `scale` to fit.
+
+    Shape: per-block Arrow group-by partials (n/s1/s2 per key) →
+    ONE bucketed group-merge of key-bounded partial rows."""
+    from ..agg import grouped_apply
+
+    def _partial(t: pa.Table) -> pa.Table:
+        q = np.round(
+            t[col].to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64)
+        t2 = pa.table(
+            {**{k: t[k] for k in keys}, "_q": pa.array(q),
+             "_q2": pa.array(q * q)}
+        )
+        g = t2.group_by(keys).aggregate(
+            [([], "count_all"), ("_q", "sum"), ("_q2", "sum")]
+        )
+        return g.rename_columns(list(keys) + ["n", "s1", "s2"])
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=False, as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")
+        )
+
+    return grouped_apply(
+        ds.select_columns(list(keys) + [col]).map_batches(
+            _partial, batch_format="pyarrow"
+        ),
+        keys, _merge,
+    )

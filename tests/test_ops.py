@@ -1075,3 +1075,34 @@ def test_global_ranks_vs_numpy(ray_session):
     one = rd.from_arrow(pa.table({"id": [1], "v": [2.0]}))
     g1 = global_ranks(one, ["v", "id"], pct=True).to_pandas()
     assert g1["rnk"].iloc[0] == 1 and g1["rnk_pct_ppm"].iloc[0] == 0
+
+
+def test_histogram_and_group_moments(ray_session):
+    """Histogram == numpy bincount with clipped edges; moments give the
+    exact variance via (n*s2 - s1^2) / (n^2 * scale^2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import group_moments, histogram
+
+    rng = np.random.default_rng(43)
+    v = np.concatenate([rng.uniform(0, 100, 2000), [-5.0, 250.0]])  # clips
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(5)
+    got = histogram(ds, "v", 0.0, 100.0, 10).to_pandas().set_index("bin")["cnt"]
+    want = np.bincount(
+        np.clip(np.floor(v / 10.0), 0, 9).astype(int), minlength=10)
+    for b in range(10):
+        assert got.get(b, 0) == want[b], b
+
+    g = np.repeat(["a", "b"], 1000)
+    x = np.round(rng.uniform(0, 50, 2000), 2)
+    ds2 = rd.from_arrow(pa.table({"g": g, "x": x})).repartition(6)
+    m = group_moments(ds2, ["g"], "x", scale=100).to_pandas().set_index("g")
+    for key in ("a", "b"):
+        xs = np.round(x[g == key] * 100).astype(np.int64)
+        assert m.loc[key, "n"] == 1000
+        assert m.loc[key, "s1"] == xs.sum()
+        assert m.loc[key, "s2"] == (xs * xs).sum()
+        n, s1, s2 = (int(m.loc[key, c]) for c in ("n", "s1", "s2"))
+        var = (n * s2 - s1 * s1) / (n * n * 100 * 100)
+        np.testing.assert_allclose(var, np.var(xs / 100.0), rtol=1e-12)
