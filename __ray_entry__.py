@@ -1384,6 +1384,14 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
                            columns=["event_id", "value"])
         return global_ranks(ev, ["value", "event_id"], pct=True)
 
+    def lang_ranks(sf_dir):
+        # within-language length rank + integer-exact percent rank
+        from pregel_ray.ops.relational import grouped_ranks
+
+        d = _read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"])
+        return grouped_ranks(d, ["lang"], ["n_chars", "doc_id"], pct=True)
+
     def hist(sf_dir):
         from pregel_ray.ops.relational import histogram
 
@@ -1428,6 +1436,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_events_value_ranks": ranks,
         "x_events_value_histogram": hist,
         "x_lineitem_qty_moments": moments,
+        "x_doc_rank_in_lang": lang_ranks,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1629,6 +1638,18 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
               AND md5(text) NOT IN (SELECT md5(text) FROM documents
                                     WHERE doc_id % 3 = 0)""",
+        # per-language ROW_NUMBER + integer-exact per-group percent rank
+        "x_doc_rank_in_lang": """
+            WITH r AS (SELECT doc_id, lang, n_chars,
+                              ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rnk,
+                              COUNT(*) OVER (PARTITION BY lang) AS n
+                       FROM documents)
+            SELECT doc_id, lang, n_chars, rnk,
+                   CAST(CASE WHEN n > 1
+                        THEN (rnk - 1) * 1000000 // (n - 1)
+                        ELSE 0 END AS BIGINT) AS rnk_pct_ppm
+            FROM r""",
         # fixed-width histogram, 50 bins over [0, 500), clipped edges —
         # identical double binning expression, floor is exact
         "x_events_value_histogram": """

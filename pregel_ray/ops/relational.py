@@ -933,3 +933,39 @@ def group_moments(
         ),
         keys, _merge,
     )
+
+
+def grouped_ranks(
+    ds: rd.Dataset,
+    by: list[str],
+    order: list[str],
+    out: str = "rnk",
+    pct: bool = False,
+) -> rd.Dataset:
+    """Per-group ROW_NUMBER (PARTITION BY `by` ORDER BY `order`) — and
+    with `pct` the integer-exact per-group PERCENT_RANK in ppm — the
+    within-stratum normalization primitive ("top decile per language").
+    `order` should end in a unique tiebreak so ranks are total.
+
+    Shape: one bucketed shuffle on `by` (a group never splits across
+    buckets), then a single vectorized sort + cumcount per bucket —
+    no per-group Python calls (the agg.py grouped_apply contract).
+    Per-group ranks need the group co-located, unlike `global_ranks`
+    whose order spans groups; a hot group must fit its bucket's worker
+    heap (raise num_buckets — the asof/range-join memory note)."""
+    from ..agg import grouped_apply
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        grp = g.groupby(by, sort=False)
+        rn = (grp.cumcount() + 1).to_numpy(np.int64)
+        g = g.assign(**{out: rn})
+        if pct:
+            n_g = grp[order[0]].transform("size").to_numpy(np.int64)
+            ppm = np.where(
+                n_g > 1, (rn - 1) * 1_000_000 // np.maximum(n_g - 1, 1), 0
+            ).astype(np.int64)
+            g = g.assign(**{f"{out}_pct_ppm": ppm})
+        return g
+
+    return grouped_apply(ds, by, _rank)

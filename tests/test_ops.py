@@ -1106,3 +1106,35 @@ def test_histogram_and_group_moments(ray_session):
         n, s1, s2 = (int(m.loc[key, c]) for c in ("n", "s1", "s2"))
         var = (n * s2 - s1 * s1) / (n * n * 100 * 100)
         np.testing.assert_allclose(var, np.var(xs / 100.0), rtol=1e-12)
+
+
+def test_grouped_ranks_vs_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import grouped_ranks
+
+    rng = np.random.default_rng(47)
+    n = 600
+    t = pa.table({
+        "g": rng.choice(["x", "y", "z"], n),
+        "v": rng.integers(0, 20, n),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    got = (grouped_ranks(rd.from_arrow(t).repartition(5), ["g"],
+                         ["v", "id"], pct=True)
+           .to_pandas().sort_values("id", ignore_index=True))
+    df = t.to_pandas().sort_values(["g", "v", "id"], kind="mergesort")
+    df["rnk"] = df.groupby("g").cumcount() + 1
+    ng = df.groupby("g")["rnk"].transform("size")
+    df["rnk_pct_ppm"] = (df["rnk"] - 1) * 1_000_000 // (ng - 1)
+    want = df.sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "id", "rnk", "rnk_pct_ppm"]],
+        want[["g", "v", "id", "rnk", "rnk_pct_ppm"]].astype(
+            {"rnk": np.int64, "rnk_pct_ppm": np.int64}),
+    )
+    # max rank per group == group size; pct spans [0, 1e6]
+    assert (got.groupby("g")["rnk"].max().to_numpy()
+            == got.groupby("g").size().to_numpy()).all()
+    assert got["rnk_pct_ppm"].max() == 1_000_000
