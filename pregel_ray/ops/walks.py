@@ -29,17 +29,43 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..agg import bucketed_join, grouped_apply
 
 
-def _cut(ds: rd.Dataset) -> rd.Dataset:
+@ray.remote
+def _concat_blocks(*tabs: pa.Table) -> pa.Table:
+    # empty sort partitions emit schema-LESS zero-column blocks (the
+    # Ray-internal "new schema: ." RefBundle quirk, io_util/CLAUDE.md);
+    # they carry no rows — drop them before the schema-strict concat
+    good = [t for t in tabs if t.num_columns]
+    return pa.concat_tables(good) if good else tabs[0]
+
+
+def _cut(ds: rd.Dataset, max_blocks: int | None = None) -> rd.Dataset:
     """Hard lineage cut (the engine's iterative-loop rule, engine.py):
     ``materialize()`` alone still drags the logical plan into every
     consumer — re-planned per union branch, per step — so iterative
-    loops re-wrap the materialized blocks as a fresh Dataset."""
-    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+    loops re-wrap the materialized blocks as a fresh Dataset.
+
+    ``max_blocks`` enforces the rule's second half — BOUND BLOCK
+    COUNTS: each bucketed join emits ~num_buckets blocks, so an
+    unbounded loop grows the frontier by that many blocks per step and
+    every downstream sort pays for ALL of them (measured quadratic:
+    sf0.001 walk steps 4.5 → 8.5 → 13.4 s before this bound, constant
+    after). Compaction is remote pa.concat_tables over ref groups —
+    the driver touches refs, never rows."""
+    refs = ds.materialize().to_arrow_refs()
+    if max_blocks and len(refs) > max_blocks:
+        groups = np.array_split(np.arange(len(refs)), max_blocks)
+        refs = [
+            _concat_blocks.remote(*[refs[i] for i in g])
+            for g in groups
+            if len(g)
+        ]
+    return rd.from_arrow_refs(refs)
 
 
 def _md5_pick(start: pd.Series, step: int, cur: pd.Series, deg: pd.Series) -> np.ndarray:
@@ -112,7 +138,7 @@ def random_walks(
         adj, degrees, left_on=["dst"], right_on=["name"], how="left",
         num_buckets=num_buckets,
     )
-    adj2 = _cut(adj2)
+    adj2 = _cut(adj2, max_blocks=num_buckets)
 
     def _starts(t: pa.Table) -> pa.Table:
         names = pa.chunked_array(
@@ -139,7 +165,7 @@ def random_walks(
         )
         .map_batches(_seed, batch_format="pyarrow")
     )
-    frontier = _cut(frontier)
+    frontier = _cut(frontier, max_blocks=num_buckets)
     outputs = []
 
     def _emit(step: int):
@@ -188,7 +214,8 @@ def random_walks(
                 {"start_name": t["start_name"], "name": t["dst"], "d": t["d"]}
             )
 
-        frontier = _cut(moved.map_batches(_advance, batch_format="pyarrow"))
+        frontier = _cut(moved.map_batches(_advance, batch_format="pyarrow"),
+                        max_blocks=num_buckets)
         outputs.append(frontier.map_batches(_emit(s + 1), batch_format="pyarrow"))
 
     out = outputs[0]
