@@ -541,13 +541,22 @@ def collocations(
     if n_total == 0:
         return rd.from_arrow(out_schema.empty_table())
 
+    # cb_all is materialized, so its size can size the marginal/join
+    # bucket counts: 128 near-empty buckets cost ~3 s of sort floor
+    # PER STAGE on a small pair table (measured sf0.001: joins 6.4 s at
+    # the default, ~1 s sized); scales back up with the data (~1 bucket
+    # per 50k pair rows, the per-bucket heap bound unchanged)
+    nb = int(min(128, max(8, cb_all.count() // 50_000 + 8)))
     c1 = group_sum(cb_all.select_columns(["w1", "cxy"]), ["w1"], "cxy",
-                   alias="c1")
+                   alias="c1", num_buckets=nb)
     c2 = group_sum(cb_all.select_columns(["w2", "cxy"]), ["w2"], "cxy",
-                   alias="c2")
+                   alias="c2", num_buckets=nb)
     cb = cb_all.filter(expr=f"cxy >= {int(min_count)}")
 
-    joined = bucketed_join(bucketed_join(cb, c1, ["w1"]), c2, ["w2"])
+    joined = bucketed_join(
+        bucketed_join(cb, c1, ["w1"], num_buckets=nb), c2, ["w2"],
+        num_buckets=nb,
+    )
     N = float(n_total)
 
     def _score(t: pa.Table) -> pa.Table:
