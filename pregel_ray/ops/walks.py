@@ -122,8 +122,16 @@ def random_walks(
     The frontier CARRIES its current vertex's out-degree (and each
     adjacency row carries its destination's degree, attached once at
     setup), so a step is ONE bucketed join — (cur, pick) against
-    (src, rank) — not a degree-attach join plus a move join."""
+    (src, rank) — not a degree-attach join plus a move join.
+    ``num_buckets`` is a CAP: the effective count is sized from the
+    edge table (~1 bucket per 50k edges, floor 8) — near-empty buckets
+    cost per-stage sort floor in every hop (the collocations finding)."""
     import pyarrow.compute as pc
+
+    # materialized once: edges feeds ranked_adjacency AND the start-set
+    # scan, and its count sizes the bucket count
+    edges = edges.materialize()
+    num_buckets = int(min(num_buckets, max(8, edges.count() // 50_000 + 8)))
 
     adj = ranked_adjacency(edges, num_buckets=num_buckets)
 
