@@ -1138,3 +1138,30 @@ def test_grouped_ranks_vs_pandas(ray_session):
     assert (got.groupby("g")["rnk"].max().to_numpy()
             == got.groupby("g").size().to_numpy()).all()
     assert got["rnk_pct_ppm"].max() == 1_000_000
+
+
+def test_final_session_ops_empty_inputs(ray_session):
+    """Every final-session op returns a typed empty result on empty
+    input (the repo's classic bug probe: schema-less empty blocks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import (global_ranks, group_moments,
+                                           grouped_ranks, histogram,
+                                           pivot_wider)
+    from pregel_ray.ops.sketch import cms_counters, heavy_hitters
+    from pregel_ray.ops.text import chunk_documents, collocations
+
+    ev = rd.from_arrow(pa.table(
+        {"id": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert global_ranks(ev, ["v", "id"], pct=True).count() == 0
+    assert grouped_ranks(ev, ["id"], ["v"]).count() == 0
+    assert pivot_wider(ev, ["id"], "v", ["1.0"]).count() == 0
+    assert histogram(ev, "v", 0, 10, 5).count() == 0
+    assert group_moments(ev, ["id"], "v").count() == 0
+    assert heavy_hitters(ev, "v", k=3, capacity=8).count() == 0
+    assert cms_counters(ev, "v", depth=2, width=16).count() == 0
+    assert collocations(docs).count() == 0
+    assert chunk_documents(docs, size=4, overlap=1).count() == 0
