@@ -1347,6 +1347,15 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
         return heavy_hitters(ev, "user_id", k=20, capacity=4096)
 
+    def hh_by(sf_dir):
+        # per-group MG in the exact regime: top-5 users per event type
+        from pregel_ray.ops.sketch import heavy_hitters
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "user_id"])
+        return heavy_hitters(ev, "user_id", k=5, capacity=4096,
+                             by=["event_type"])
+
     def cms(sf_dir):
         # Count-Min counter table is an exact function of the multiset
         # (md5-low64 row hashes = DuckDB md5_number_lower) — the HLL
@@ -1456,6 +1465,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_mixture_epochs": mixture,
         "x_doc_dedup_against": incr_dedup,
         "x_events_heavy_hitters": hh,
+        "x_events_heavy_hitters_by_type": hh_by,
     }
 
 
@@ -1773,6 +1783,14 @@ def extra_oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rn
               FROM events GROUP BY user_id)
             WHERE rn <= 20""",
+        # per-group Misra-Gries in the exact regime: top-5 users per type
+        "x_events_heavy_hitters_by_type": """
+            SELECT event_type, user_id, cnt FROM (
+              SELECT event_type, user_id, COUNT(*) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY COUNT(*) DESC, user_id) AS rn
+              FROM events GROUP BY event_type, user_id)
+            WHERE rn <= 5""",
         # deterministic k-neighbor sample: per src, the k edges with the
         # smallest md5_low64(src ':' dst) (ties by dst name) — the GNN
         # mini-batch fan-out, replayed by a ROW_NUMBER over the same hash

@@ -217,10 +217,18 @@ def heavy_hitters(
     capacity: int = 4096,
     num_buckets: int = 128,
     return_bound: bool = False,
+    by: list[str] | None = None,
 ) -> rd.Dataset | tuple[rd.Dataset, int]:
     """Top-k most frequent values of `key` via a distributed Misra-Gries
     summary (Misra & Gries 1982; mergeability per Agarwal et al. 2012).
     Returns (key, cnt) rows, ordered (cnt desc, key asc), rank <= k.
+
+    ``by`` makes it per-group (top URLs per language — the canonical
+    use): `capacity` then bounds each GROUP's per-block summary, the
+    compression threshold is computed within each (block, group), and
+    the result is the top-k per group (grouped_topk fold, ≤ k·blocks
+    rows per group shuffle). `return_bound` is global-only (a single
+    scalar can't bound per-group error honestly) — ValueError with by.
 
     Scale shape — the sketch IS the reduction, like `hll_registers`:
     each block folds its rows into an exact Arrow value-count, then
@@ -246,6 +254,11 @@ def heavy_hitters(
     import pyarrow.compute as pc
 
     from ..agg import group_sum
+
+    if by:
+        if return_bound:
+            raise ValueError("return_bound is global-only; unsupported with by")
+        return _heavy_hitters_by(ds, key, k, capacity, num_buckets, list(by))
 
     def _partial(t: pa.Table) -> pa.Table:
         vc = (
@@ -307,6 +320,66 @@ def heavy_hitters(
         .limit(k)
     )
     return (out, bound) if return_bound else out
+
+
+def _heavy_hitters_by(
+    ds: rd.Dataset, key: str, k: int, capacity: int, num_buckets: int,
+    by: list[str],
+) -> rd.Dataset:
+    """Per-group Misra-Gries: per-block exact (by, key) value-count,
+    MG compression WITHIN each (block, group) — vectorized via a
+    per-group rank (sort + group-run cumcount, no Python per group) —
+    then one bucketed group-sum and a grouped_topk fold."""
+    import pyarrow.compute as pc
+
+    cols = list(by) + [key]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = (
+            t.select(cols)
+            .group_by(cols)
+            .aggregate([([], "count_all")])
+            .rename_columns(cols + ["cnt"])
+        )
+        if vc.num_rows == 0:
+            return vc
+        # rank of each counter within its group, by cnt desc: sort by
+        # (by..., cnt desc) then cumcount along group runs
+        keys_sort = [(c, "ascending") for c in by] + [("cnt", "descending")]
+        vs = vc.take(pc.sort_indices(vc, sort_keys=keys_sort))
+        boundary = np.zeros(vs.num_rows, bool)
+        boundary[0] = True
+        for c in by:
+            a = vs[c].to_numpy(zero_copy_only=False)
+            boundary[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(boundary)
+        rank = np.arange(vs.num_rows) - np.repeat(
+            starts, np.diff(np.append(starts, vs.num_rows))
+        )
+        cnts = vs["cnt"].to_numpy()
+        # per-group threshold = the (capacity+1)-th largest (rank
+        # `capacity` after the desc sort), 0 when the group is small
+        thr_g = np.zeros(len(starts), np.int64)
+        at = starts + capacity
+        ok = at < np.append(starts[1:], vs.num_rows)
+        thr_g[ok] = cnts[(at[ok])]
+        thr = np.repeat(thr_g, np.diff(np.append(starts, vs.num_rows)))
+        keep = (rank < capacity) & (cnts > thr)
+        out = vs.filter(pa.array(keep))
+        return pa.table(
+            {
+                **{c: out[c] for c in by},
+                key: out[key],
+                "cnt": pa.array(out["cnt"].to_numpy() - thr[keep]),
+            }
+        )
+
+    from ..agg import group_sum
+    from .text import grouped_topk
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    sums = group_sum(parts, cols, "cnt", num_buckets=num_buckets)
+    return grouped_topk(sums, by, "cnt", k, tiebreak=key)
 
 
 # ---------------------------------------------------------------------------

@@ -422,3 +422,54 @@ def test_cms_layout_independent_and_bound(ray_session):
                        depth=4, width=32)
     for v, e in zip(range(500), est):
         assert int(true.get(v, 0)) <= e <= len(vals)
+
+
+def test_heavy_hitters_by_group_exact_regime(ray_session):
+    """Per-group MG with capacity >= per-group distinct == exact top-k
+    per group (ROW_NUMBER semantics), layout-independent."""
+    from pregel_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(19)
+    g = rng.choice(["p", "q", "r"], 4000)
+    v = rng.integers(0, 30, 4000)
+    t = pa.table({"g": g, "v": v})
+    got = (heavy_hitters(rd.from_arrow(t).repartition(6), "v", k=5,
+                         capacity=64, by=["g"])
+           .to_pandas().sort_values(["g", "cnt", "v"],
+                                    ascending=[True, False, True],
+                                    ignore_index=True))
+    want_rows = []
+    df = pd.DataFrame({"g": g, "v": v})
+    for key, sub in df.groupby("g"):
+        vc = sub["v"].value_counts().rename_axis("v").reset_index(name="cnt")
+        vc = vc.sort_values(["cnt", "v"], ascending=[False, True],
+                            kind="mergesort").head(5)
+        for _, r in vc.iterrows():
+            want_rows.append((key, int(r["v"]), int(r["cnt"])))
+    want = pd.DataFrame(want_rows, columns=["g", "v", "cnt"]).sort_values(
+        ["g", "cnt", "v"], ascending=[True, False, True], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "cnt"]].astype({"v": np.int64, "cnt": np.int64}), want)
+
+
+def test_heavy_hitters_by_group_sketch_regime(ray_session):
+    """Tight per-group capacity: the planted per-group heavy value
+    still surfaces; summaries stay <= k rows per group; bound+by raises."""
+    import pytest as _pytest
+
+    from pregel_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(31)
+    rows_g, rows_v = [], []
+    for gi, heavy in (("a", 7000), ("b", 8000)):
+        rows_g += [gi] * 1500
+        rows_v += [heavy] * 500 + list(rng.integers(0, 400, 1000))
+    t = pa.table({"g": rows_g, "v": np.array(rows_v, np.int64)})
+    out = heavy_hitters(rd.from_arrow(t).repartition(5), "v", k=3,
+                        capacity=16, by=["g"]).to_pandas()
+    top = out.sort_values(["g", "cnt"], ascending=[True, False]).groupby(
+        "g").head(1)
+    assert dict(zip(top["g"], top["v"])) == {"a": 7000, "b": 8000}
+    assert out.groupby("g").size().le(3).all()
+    with _pytest.raises(ValueError):
+        heavy_hitters(rd.from_arrow(t), "v", by=["g"], return_bound=True)
