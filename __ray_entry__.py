@@ -1407,6 +1407,15 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
         return histogram(ev, "value", 0.0, 500.0, 50)
 
+    def outliers(sf_dir):
+        # z-score length outliers per language — exact integer
+        # inequality on the group moments, no float sqrt/div
+        from pregel_ray.ops.relational import moment_outliers
+
+        d = _read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"])
+        return moment_outliers(d, ["lang"], "n_chars", scale=1, z=2)
+
     def moments(sf_dir):
         # integer-scaled power sums: exact distributed mean/variance
         from pregel_ray.ops.relational import group_moments
@@ -1446,6 +1455,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_events_value_histogram": hist,
         "x_lineitem_qty_moments": moments,
         "x_doc_rank_in_lang": lang_ranks,
+        "x_doc_length_outliers": outliers,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1660,6 +1670,21 @@ def extra_oracle_sql() -> dict[str, str]:
                         THEN (rnk - 1) * 1000000 // (n - 1)
                         ELSE 0 END AS BIGINT) AS rnk_pct_ppm
             FROM r""",
+        # z-score outliers via the exact integer moment inequality:
+        # (n*q - s1)^2 > z^2 * (n*s2 - s1^2), squares in HUGEINT
+        "x_doc_length_outliers": """
+            WITH m AS (SELECT lang, COUNT(*) AS n,
+                              SUM(n_chars) AS s1,
+                              SUM(n_chars * n_chars) AS s2
+                       FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CAST(d.n_chars AS BIGINT) AS q,
+                   CAST(m.n AS BIGINT) AS n, CAST(m.s1 AS BIGINT) AS s1,
+                   CAST(m.s2 AS BIGINT) AS s2
+            FROM documents d JOIN m USING (lang)
+            WHERE CAST(m.n * d.n_chars - m.s1 AS HUGEINT)
+                  * CAST(m.n * d.n_chars - m.s1 AS HUGEINT)
+                  > 4 * CAST(m.n * m.s2 - m.s1 * m.s1 AS HUGEINT)""",
         # fixed-width histogram, 50 bins over [0, 500), clipped edges —
         # identical double binning expression, floor is exact
         "x_events_value_histogram": """

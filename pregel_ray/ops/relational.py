@@ -969,3 +969,59 @@ def grouped_ranks(
         return g
 
     return grouped_apply(ds, by, _rank)
+
+
+def moment_outliers(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    scale: int = 100,
+    z: int = 2,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Rows whose `col` deviates from its group mean by more than `z`
+    group standard deviations — the anomaly filter, composed on
+    `group_moments` and decided by an EXACT integer inequality:
+
+        |q - s1/n| > z·sqrt((n·s2 - s1²)/n²)
+        ⟺  (n·q - s1)² > z²·(n·s2 - s1²)      (q = round(col·scale))
+
+    No float division or sqrt anywhere, so the SQL twin (HUGEINT
+    squares) matches bit-for-bit. Overflow-guarded: |n·q - s1| must fit
+    an int64 square (< 3e9) — raises with a lower-`scale` hint
+    otherwise (the group_moments bound, squared edition).
+
+    Shape: the tiny per-group moment table rides ONE bucketed join back
+    onto the rows (group-count-bounded build side), then a pure filter
+    map. Output: input columns + q/n/s1/s2 witnesses."""
+    from ..agg import bucketed_join
+
+    m = group_moments(ds, keys, col, scale)
+
+    def _q(t: pa.Table) -> pa.Table:
+        q = np.round(
+            t[col].to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64)
+        return t.append_column("q", pa.array(q))
+
+    joined = bucketed_join(
+        ds.map_batches(_q, batch_format="pyarrow"), m, keys,
+        num_buckets=num_buckets,
+    )
+
+    def _filter(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s1 = t["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = n * q - s1
+        if len(dev) and int(np.abs(dev).max()) >= 3_000_000_000:
+            raise ValueError(
+                "moment_outliers: n*q - s1 too large to square in int64 "
+                "— lower `scale`"
+            )
+        lhs = dev * dev
+        rhs = (z * z) * (n * s2 - s1 * s1)
+        return t.filter(pa.array(lhs > rhs))
+
+    return joined.map_batches(_filter, batch_format="pyarrow")

@@ -1165,3 +1165,34 @@ def test_final_session_ops_empty_inputs(ray_session):
     assert cms_counters(ev, "v", depth=2, width=16).count() == 0
     assert collocations(docs).count() == 0
     assert chunk_documents(docs, size=4, overlap=1).count() == 0
+
+
+def test_moment_outliers_planted(ray_session):
+    """Planted extreme values are flagged; normals aren't; the integer
+    decision matches the float z-score; overflow guard raises."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import moment_outliers
+
+    rng = np.random.default_rng(59)
+    vals = np.concatenate([rng.normal(100, 5, 500), [400.0, -200.0]])
+    ids = np.arange(len(vals), dtype=np.int64)
+    g = np.array(["x"] * len(vals))
+    ds = rd.from_arrow(pa.table({"id": ids, "g": g, "v": vals})).repartition(4)
+    got = moment_outliers(ds, ["g"], "v", scale=100, z=2).to_pandas()
+    flagged = set(got["id"])
+    assert {500, 501} <= flagged  # the planted extremes
+    # float cross-check: every flagged row really is > 2 sigma
+    q = np.round(vals * 100)
+    mu, sd = q.mean(), q.std()
+    for i in flagged:
+        assert abs(q[i] - mu) > 2 * sd, i
+    for i in set(ids) - flagged:
+        assert abs(q[i] - mu) <= 2 * sd, i
+
+    big = rd.from_arrow(pa.table({
+        "id": pa.array(range(4), pa.int64()), "g": ["a"] * 4,
+        "v": [1e9, 2e9, 3e9, 4e9]}))
+    with pytest.raises(Exception, match="lower `scale`"):
+        moment_outliers(big, ["g"], "v", scale=100, z=2).count()
