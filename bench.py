@@ -186,6 +186,18 @@ def run_bench() -> dict:
             _ = r.count() if isinstance(r, rd.Dataset) else len(r)
             times[f"op_{label}"] = time.monotonic() - t0
 
+        # BPE has no gate row (iterative — pytest-pinned), so time it here
+        from pregel_ray.io_util import read_parquet as _rp
+        from pregel_ray.ops.bpe import learn_bpe
+
+        t0 = time.monotonic()
+        _, vocab = learn_bpe(
+            _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            num_merges=20,
+        )
+        vocab.count()
+        times["op_bpe_20merges"] = time.monotonic() - t0
+
     headline = times["pagerank"]
     out = {
         "metric": "pagerank_convergence_sec_l1_1e-6",
