@@ -1020,6 +1020,14 @@ def moment_outliers(
                 "moment_outliers: n*q - s1 too large to square in int64 "
                 "— lower `scale`"
             )
+        # rhs bound: s1^2 <= n*s2 (Cauchy-Schwarz), so checking n*s2
+        # covers both products; float probe avoids the silent int64 wrap
+        if len(n) and float(
+            (n.astype(np.float64) * s2.astype(np.float64)).max()
+        ) >= float(2**62) / (z * z):
+            raise ValueError(
+                "moment_outliers: n*s2 too large for int64 — lower `scale`"
+            )
         lhs = dev * dev
         rhs = (z * z) * (n * s2 - s1 * s1)
         return t.filter(pa.array(lhs > rhs))
