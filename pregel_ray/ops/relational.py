@@ -904,6 +904,9 @@ def group_moments(
     oracle is exact — the float-sum-order problem engineered away (the
     bigram-LM int-ppm trick, aggregate edition). int64 bound: s2 needs
     n·(max|col|·scale)² < 2^63 — raise/lower `scale` to fit.
+    NB: numpy rounds half-to-even, DuckDB half-away — pick `scale` so
+    col·scale is integral (2-decimal money → 100) and .5 never occurs;
+    both gate rows are in that regime.
 
     Shape: per-block Arrow group-by partials (n/s1/s2 per key) →
     ONE bucketed group-merge of key-bounded partial rows."""
