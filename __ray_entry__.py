@@ -1407,6 +1407,53 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
         return histogram(ev, "value", 0.0, 500.0, 50)
 
+    def cdist(sf_dir):
+        from pregel_ray.ops.relational import group_count_distinct
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"])
+        return group_count_distinct(ev, ["user_id"], "event_type")
+
+    def lag(sf_dir):
+        # LAG(value) per user by (ts, event_id); the group-leading NULL
+        # is sentinel-filled on BOTH sides (NaN vs SQL NULL would
+        # hash-diverge in a double column)
+        from pregel_ray.ops.relational import with_lag
+
+        ev = _read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts", "value"])
+        out = with_lag(ev, ["user_id"], ["ts", "event_id"], "value")
+
+        def _fill(t):
+            import pyarrow.compute as _pc
+
+            return t.set_column(
+                t.schema.get_field_index("lag_value"), "lag_value",
+                _pc.fill_null(_pc.cast(t["lag_value"], "float64"), -1.0),
+            )
+
+        return out.map_batches(_fill, batch_format="pyarrow")
+
+    def _doc_halves(sf_dir):
+        # OVERLAPPING doc_id ranges: parity halves turn out pair-disjoint
+        # in the synthetic data (degenerate empty intersect)
+        d = _read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "source"])
+        return (d.filter(expr="doc_id < 300"),
+                d.filter(expr="doc_id >= 200"))
+
+    def isect(sf_dir):
+        from pregel_ray.ops.relational import table_intersect
+
+        lo, hi = _doc_halves(sf_dir)
+        return table_intersect(lo, hi, ["lang", "source"])
+
+    def exc(sf_dir):
+        from pregel_ray.ops.relational import table_except
+
+        lo, hi = _doc_halves(sf_dir)
+        return table_except(lo, hi, ["lang", "source"])
+
     def outliers(sf_dir):
         # z-score length outliers per language — exact integer
         # inequality on the group moments, no float sqrt/div
@@ -1456,6 +1503,10 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_lineitem_qty_moments": moments,
         "x_doc_rank_in_lang": lang_ranks,
         "x_doc_length_outliers": outliers,
+        "x_events_user_types_distinct": cdist,
+        "x_events_value_lag": lag,
+        "x_doc_langsource_intersect": isect,
+        "x_doc_langsource_except": exc,
         "x_doc_dup_spans": dup_spans,
         "x_doc_decontaminate": decontam,
         "x_doc_repetition": rep_stats,
@@ -1670,6 +1721,27 @@ def extra_oracle_sql() -> dict[str, str]:
                         THEN (rnk - 1) * 1000000 // (n - 1)
                         ELSE 0 END AS BIGINT) AS rnk_pct_ppm
             FROM r""",
+        # exact per-group COUNT(DISTINCT)
+        "x_events_user_types_distinct": """
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+            FROM events GROUP BY user_id""",
+        # LAG window; group-leading NULL sentinel-filled (see query)
+        "x_events_value_lag": """
+            SELECT event_id, user_id, ts, value,
+                   COALESCE(LAG(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id), -1.0) AS lag_value
+            FROM events""",
+        # set ops on (lang, source): overlapping doc_id ranges (parity
+        # halves are pair-disjoint in the synthetic data)
+        "x_doc_langsource_intersect": """
+            SELECT lang, source FROM documents WHERE doc_id < 300
+            INTERSECT
+            SELECT lang, source FROM documents WHERE doc_id >= 200""",
+        "x_doc_langsource_except": """
+            SELECT lang, source FROM documents WHERE doc_id < 300
+            EXCEPT
+            SELECT lang, source FROM documents WHERE doc_id >= 200""",
         # z-score outliers via the exact integer moment inequality:
         # (n*q - s1)^2 > z^2 * (n*s2 - s1^2), squares in HUGEINT
         "x_doc_length_outliers": """

@@ -1036,3 +1036,72 @@ def moment_outliers(
         return t.filter(pa.array(lhs > rhs))
 
     return joined.map_batches(_filter, batch_format="pyarrow")
+
+
+def group_count_distinct(
+    ds: rd.Dataset, keys: list[str], col: str, alias: str = "n_distinct",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """(keys..., n_distinct): exact COUNT(DISTINCT col) per group — the
+    two-level reduction: map-side-combined distinct over (keys, col)
+    (the exchange carries distinct pairs, never rows), then a bucketed
+    count of the surviving pairs. Exact at any scale; for ballpark
+    cardinalities at a fraction of the shuffle use `sketch.hll_registers`
+    (`by=keys`) instead."""
+    from ..agg import distinct, group_count
+
+    pairs = distinct(ds.select_columns(list(keys) + [col]),
+                     list(keys) + [col], num_buckets=num_buckets)
+    return group_count(pairs, list(keys), alias=alias,
+                       num_buckets=num_buckets)
+
+
+def with_lag(
+    ds: rd.Dataset,
+    by: list[str],
+    order: list[str],
+    col: str,
+    shift: int = 1,
+    alias: str | None = None,
+) -> rd.Dataset:
+    """Append LAG(col, shift) OVER (PARTITION BY by ORDER BY order) to
+    every row (negative `shift` = LEAD) — the windowed feature-building
+    primitive (previous event value, next click ts). First rows of each
+    group carry a typed null, exactly like SQL.
+
+    Shape: one bucketed shuffle on `by` (a group never splits), one
+    vectorized sort + groupby-shift per bucket."""
+    from ..agg import grouped_apply
+
+    out = alias or f"lag_{col}"
+
+    def _lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        g[out] = g.groupby(by, sort=False)[col].shift(shift)
+        return g
+
+    return grouped_apply(ds, by, _lag)
+
+
+def table_intersect(
+    a: rd.Dataset, b: rd.Dataset, cols: list[str], num_buckets: int = 32
+) -> rd.Dataset:
+    """SQL INTERSECT on `cols`: distinct rows of `a` that also occur in
+    `b` — distinct + one bucketed semi-join (only b's keys ride)."""
+    from ..agg import bucketed_join, distinct
+
+    da = distinct(a.select_columns(cols), cols, num_buckets=num_buckets)
+    return bucketed_join(da, b.select_columns(cols), cols, how="semi",
+                         num_buckets=num_buckets)
+
+
+def table_except(
+    a: rd.Dataset, b: rd.Dataset, cols: list[str], num_buckets: int = 32
+) -> rd.Dataset:
+    """SQL EXCEPT on `cols`: distinct rows of `a` absent from `b` —
+    distinct + one bucketed anti-join."""
+    from ..agg import bucketed_join, distinct
+
+    da = distinct(a.select_columns(cols), cols, num_buckets=num_buckets)
+    return bucketed_join(da, b.select_columns(cols), cols, how="anti",
+                         num_buckets=num_buckets)

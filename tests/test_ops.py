@@ -1196,3 +1196,43 @@ def test_moment_outliers_planted(ray_session):
         "v": [1e9, 2e9, 3e9, 4e9]}))
     with pytest.raises(Exception, match="lower `scale`"):
         moment_outliers(big, ["g"], "v", scale=100, z=2).count()
+
+
+def test_count_distinct_lag_setops(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.relational import (group_count_distinct,
+                                           table_except, table_intersect,
+                                           with_lag)
+
+    rng = np.random.default_rng(61)
+    t = pa.table({
+        "u": rng.integers(0, 20, 800),
+        "ty": rng.choice(["a", "b", "c", "d"], 800),
+        "ts": np.arange(800, dtype=np.int64),
+        "v": rng.integers(0, 100, 800).astype(np.float64),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    df = t.to_pandas()
+
+    got = (group_count_distinct(ds, ["u"], "ty")
+           .to_pandas().set_index("u")["n_distinct"])
+    want = df.groupby("u")["ty"].nunique()
+    for u in want.index:
+        assert got[u] == want[u], u
+
+    lag = (with_lag(ds, ["u"], ["ts"], "v")
+           .to_pandas().sort_values("ts", ignore_index=True))
+    want_lag = df.sort_values("ts")
+    want_lag["lag_v"] = want_lag.groupby("u")["v"].shift(1)
+    pd.testing.assert_series_equal(
+        lag["lag_v"], want_lag.reset_index(drop=True)["v"].groupby(
+            want_lag.reset_index(drop=True)["u"]).shift(1).rename("lag_v"))
+
+    a = rd.from_arrow(pa.table({"x": ["p", "q", "r", "p"], "y": [1, 2, 3, 1]}))
+    b = rd.from_arrow(pa.table({"x": ["q", "r", "s"], "y": [2, 99, 3]}))
+    i = set(map(tuple, table_intersect(a, b, ["x", "y"]).to_pandas().values))
+    e = set(map(tuple, table_except(a, b, ["x", "y"]).to_pandas().values))
+    assert i == {("q", 2)}
+    assert e == {("p", 1), ("r", 3)}
