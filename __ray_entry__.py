@@ -1407,6 +1407,12 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
         return histogram(ev, "value", 0.0, 500.0, 50)
 
+    def cluco(sf_dir):
+        # local clustering coefficient: 2T/(d(d-1)) in exact integer ppm
+        from pregel_ray import pipelines
+
+        return pipelines.clustering_coefficient(sf_dir)
+
     def cdist(sf_dir):
         from pregel_ray.ops.relational import group_count_distinct
 
@@ -1503,6 +1509,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_lineitem_qty_moments": moments,
         "x_doc_rank_in_lang": lang_ranks,
         "x_doc_length_outliers": outliers,
+        "x_graph_clustering_coeff": cluco,
         "x_events_user_types_distinct": cdist,
         "x_events_value_lag": lag,
         "x_doc_langsource_intersect": isect,
@@ -1721,6 +1728,21 @@ def extra_oracle_sql() -> dict[str, str]:
                         THEN (rnk - 1) * 1000000 // (n - 1)
                         ELSE 0 END AS BIGINT) AS rnk_pct_ppm
             FROM r""",
+        # local clustering coefficient: triangles CTE + simple degrees,
+        # cc_ppm = (2*T*1e6) // (d*(d-1)) — integer division both sides
+        "x_graph_clustering_coeff": _triangles_cte() + """,
+            pv AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS triangles
+                   FROM (SELECT x AS name FROM tri
+                         UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri) GROUP BY name),
+            deg AS (SELECT name, COUNT(*) AS d FROM (
+                      SELECT a AS name FROM simple
+                      UNION ALL SELECT b FROM simple) GROUP BY name)
+            SELECT deg.name, CAST(deg.d AS BIGINT) AS degree,
+                   CAST(COALESCE(pv.triangles, 0) AS BIGINT) AS triangles,
+                   CAST((2 * COALESCE(pv.triangles, 0) * 1000000)
+                        // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+            FROM deg LEFT JOIN pv USING (name) WHERE deg.d >= 2""",
         # exact per-group COUNT(DISTINCT)
         "x_events_user_types_distinct": """
             SELECT user_id,

@@ -52,6 +52,7 @@ def triangle_counts(
     edges: rd.Dataset,
     num_buckets: int = 64,
     broadcast_vertex_threshold: int = 32_000_000,
+    return_degrees: bool = False,
 ) -> rd.Dataset:
     """edges (src,dst,w; any orientation/dups) → Dataset (vid, triangles).
 
@@ -84,9 +85,10 @@ def triangle_counts(
     ).materialize()
     n_vertices = degrees.count()
     if n_vertices == 0:
-        return rd.from_arrow(
+        empty = rd.from_arrow(
             pa.table({"vid": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())})
         )
+        return (empty, degrees) if return_degrees else empty
 
     import ray
 
@@ -210,7 +212,11 @@ def triangle_counts(
         .groupby("bk")
         .map_groups(_close, batch_format="pandas")
     )
-    return group_sum(credits, ["vid"], "t", alias="triangles", num_buckets=num_buckets)
+    pv = group_sum(credits, ["vid"], "t", alias="triangles", num_buckets=num_buckets)
+    # degrees: (vid, count()) of the SIMPLE undirected graph — already
+    # materialized above; callers composing metrics (clustering
+    # coefficient) reuse it instead of recomputing the distinct+count
+    return (pv, degrees) if return_degrees else pv
 
 
 def triangle_total(per_vertex: rd.Dataset) -> int:

@@ -666,3 +666,52 @@ def textrank_keywords(
         {"token": "vid"}, keep=["rank"],
     )
     return named.sort(["rank", "token"], descending=[True, False]).limit(k)
+
+
+def clustering_coefficient(sf_dir: str) -> rd.Dataset:
+    """(name, degree, triangles, cc_ppm): local clustering coefficient
+    over the simple undirected graph — cc = 2T / (d(d-1)), floored to
+    integer ppm via pure integer arithmetic (exact vs the SQL twin, no
+    float division). All vertices with degree >= 2; T fills 0.
+
+    Composition row: triangle_counts' per-vertex counts and its
+    already-materialized simple-degree table (return_degrees=True — no
+    recompute), one bucketed left join, one map."""
+    import pyarrow.compute as pc
+
+    from .agg import bucketed_join
+    from .algorithms.triangles import triangle_counts
+
+    p, cfg, _ = build_graph(sf_dir)
+    edges = _read_parquet(os.path.join(p["graph"], "edges"))
+    pv, degrees = triangle_counts(
+        edges, num_buckets=cfg.num_buckets,
+        broadcast_vertex_threshold=cfg.broadcast_vertex_threshold,
+        return_degrees=True,
+    )
+
+    deg2 = degrees.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2))),
+        batch_format="pyarrow",
+    )
+    j = bucketed_join(deg2, pv, ["vid"], how="left",
+                      num_buckets=cfg.num_buckets)
+
+    def _cc(t: pa.Table) -> pa.Table:
+        d = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = pc.fill_null(t["triangles"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cc = (2 * tri * 1_000_000) // (d * (d - 1))
+        return pa.table(
+            {
+                "vid": t["vid"],
+                "degree": pa.array(d),
+                "triangles": pa.array(tri),
+                "cc_ppm": pa.array(cc),
+            }
+        )
+
+    out = j.map_batches(_cc, batch_format="pyarrow")
+    nm = _namemap(p, cfg)
+    return nm.rename(out, {"name": "vid"},
+                     keep=["degree", "triangles", "cc_ppm"])

@@ -1236,3 +1236,30 @@ def test_count_distinct_lag_setops(ray_session):
     e = set(map(tuple, table_except(a, b, ["x", "y"]).to_pandas().values))
     assert i == {("q", 2)}
     assert e == {("p", 1), ("r", 3)}
+
+
+def test_clustering_coefficient_hand_graph(ray_session):
+    """K4 + a pendant: known coefficients (K4 members cc=1 before the
+    pendant; the attachment vertex has d=4, T=3 → 500000 ppm)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.agg import bucketed_join
+    from pregel_ray.algorithms.triangles import triangle_counts
+
+    # K4 on vids 0-3 plus pendant 4 attached to 0
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in e], pa.int64()),
+        "dst": pa.array([b for _, b in e], pa.int64()),
+        "w": pa.array([1.0] * len(e)),
+    }))
+    pv, degrees = triangle_counts(edges, num_buckets=4, return_degrees=True)
+    d = degrees.to_pandas().set_index("vid")["count()"]
+    t = pv.to_pandas().set_index("vid")["triangles"]
+    assert d.to_dict() == {0: 4, 1: 3, 2: 3, 3: 3, 4: 1}
+    assert t.to_dict() == {0: 3, 1: 3, 2: 3, 3: 3}
+    # cc: vertices 1-3 → 2*3/(3*2) = 1.0; vertex 0 → 2*3/(4*3) = 0.5
+    for v in (1, 2, 3):
+        assert (2 * t[v] * 1_000_000) // (d[v] * (d[v] - 1)) == 1_000_000
+    assert (2 * t[0] * 1_000_000) // (d[0] * (d[0] - 1)) == 500_000
