@@ -1413,6 +1413,12 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return pipelines.clustering_coefficient(sf_dir)
 
+    def assort(sf_dir):
+        # exact integer moments of endpoint degrees; r derives exactly
+        from pregel_ray import pipelines
+
+        return pipelines.degree_assortativity_moments(sf_dir)
+
     def cdist(sf_dir):
         from pregel_ray.ops.relational import group_count_distinct
 
@@ -1510,6 +1516,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_rank_in_lang": lang_ranks,
         "x_doc_length_outliers": outliers,
         "x_graph_clustering_coeff": cluco,
+        "x_graph_assortativity_moments": assort,
         "x_events_user_types_distinct": cdist,
         "x_events_value_lag": lag,
         "x_doc_langsource_intersect": isect,
@@ -1743,6 +1750,22 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST((2 * COALESCE(pv.triangles, 0) * 1000000)
                         // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
             FROM deg LEFT JOIN pv USING (name) WHERE deg.d >= 2""",
+        # degree assortativity moments over both orientations of the
+        # simple graph — exact integer sums, r derives downstream
+        "x_graph_assortativity_moments": _triangles_cte() + """,
+            deg AS (SELECT name, COUNT(*) AS d FROM (
+                      SELECT a AS name FROM simple
+                      UNION ALL SELECT b FROM simple) GROUP BY name),
+            arcs AS (SELECT a AS x, b AS y FROM simple
+                     UNION ALL SELECT b AS x, a AS y FROM simple)
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(dx.d) AS BIGINT) AS s_x,
+                   CAST(SUM(dy.d) AS BIGINT) AS s_y,
+                   CAST(SUM(dx.d * dx.d) AS BIGINT) AS s_xx,
+                   CAST(SUM(dy.d * dy.d) AS BIGINT) AS s_yy,
+                   CAST(SUM(dx.d * dy.d) AS BIGINT) AS s_xy
+            FROM arcs JOIN deg dx ON dx.name = arcs.x
+                      JOIN deg dy ON dy.name = arcs.y""",
         # exact per-group COUNT(DISTINCT)
         "x_events_user_types_distinct": """
             SELECT user_id,

@@ -715,3 +715,92 @@ def clustering_coefficient(sf_dir: str) -> rd.Dataset:
     nm = _namemap(p, cfg)
     return nm.rename(out, {"name": "vid"},
                      keep=["degree", "triangles", "cc_ppm"])
+
+
+def degree_assortativity_moments(sf_dir: str) -> rd.Dataset:
+    """One row (m, s_x, s_y, s_xx, s_yy, s_xy): the exact integer
+    moments of (source-degree, dest-degree) over every DIRECTED
+    endpoint pair of the simple undirected graph (each undirected edge
+    contributes both orientations, the standard Newman convention — so
+    s_x = s_y and s_xx = s_yy, kept separately as a self-check).
+    Degree assortativity derives exactly:
+
+        r = (m·s_xy − s_x·s_y) / sqrt((m·s_xx − s_x²)(m·s_yy − s_y²))
+
+    The group_moments trick on graphs: integer sums are associative,
+    so the moments are layout-independent and the SQL twin is exact;
+    the float r is left to the consumer (one scalar, no sum-order
+    hazard). Shape: the triangles simple/degree tables reused, two
+    bucketed joins attach endpoint degrees, one map-side-combined
+    global integer sum."""
+    import pyarrow.compute as pc
+
+    from .agg import bucketed_join, distinct, group_count
+    from .algorithms.triangles import _canonical
+
+    p, cfg, _ = build_graph(sf_dir)
+    edges = _read_parquet(os.path.join(p["graph"], "edges"))
+    simple = distinct(
+        edges.map_batches(_canonical, batch_format="pyarrow"), ["a", "b"],
+        num_buckets=cfg.num_buckets,
+    ).materialize()
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.int64()),
+             t["b"].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table({"vid": v})
+
+    degrees = group_count(
+        simple.map_batches(_endpoints, batch_format="pyarrow"), ["vid"],
+        alias="d", num_buckets=cfg.num_buckets,
+    )
+
+    # both orientations, then attach the degree at each endpoint
+    def _orient(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"x": pa.concat_arrays([a, b]), "y": pa.concat_arrays([b, a])}
+        )
+
+    arcs = simple.map_batches(_orient, batch_format="pyarrow")
+    j1 = bucketed_join(arcs, degrees, left_on=["x"], right_on=["vid"],
+                       num_buckets=cfg.num_buckets, rsuffix="_x")
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            [{"d": "dx"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_join(j1, degrees, left_on=["y"], right_on=["vid"],
+                       num_buckets=cfg.num_buckets, rsuffix="_y")
+
+    def _moments(t: pa.Table) -> pa.Table:
+        dx = t["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array([len(dx)], pa.int64()),
+                "s_x": pa.array([int(dx.sum())], pa.int64()),
+                "s_y": pa.array([int(dy.sum())], pa.int64()),
+                "s_xx": pa.array([int((dx * dx).sum())], pa.int64()),
+                "s_yy": pa.array([int((dy * dy).sum())], pa.int64()),
+                "s_xy": pa.array([int((dx * dy).sum())], pa.int64()),
+            }
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("_g", as_index=False).agg(
+            m=("m", "sum"), s_x=("s_x", "sum"), s_y=("s_y", "sum"),
+            s_xx=("s_xx", "sum"), s_yy=("s_yy", "sum"), s_xy=("s_xy", "sum"),
+        ).drop(columns="_g")
+
+    from .agg import grouped_apply
+
+    partials = j2.map_batches(_moments, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "_g", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    return grouped_apply(partials, ["_g"], _fold)

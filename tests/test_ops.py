@@ -1263,3 +1263,80 @@ def test_clustering_coefficient_hand_graph(ray_session):
     for v in (1, 2, 3):
         assert (2 * t[v] * 1_000_000) // (d[v] * (d[v] - 1)) == 1_000_000
     assert (2 * t[0] * 1_000_000) // (d[0] * (d[0] - 1)) == 500_000
+
+
+def test_assortativity_moments_star_vs_cycle(ray_session):
+    """Known-signed graphs: a star is perfectly disassortative
+    (r = -1 for the 2-point degree distribution), a cycle has zero
+    degree variance; moments match direct numpy computation."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    # reuse the pipeline's internal shape through the fixture-free parts
+    from pregel_ray.agg import bucketed_join, distinct, group_count
+    from pregel_ray.algorithms.triangles import _canonical
+
+    def moments(edge_list):
+        # direct truth
+        deg = {}
+        und = set()
+        for a, b in edge_list:
+            if a == b:
+                continue
+            und.add((min(a, b), max(a, b)))
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs, ys = [], []
+        for a, b in und:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        xs, ys = np.array(xs), np.array(ys)
+        return (len(xs), xs.sum(), (xs * xs).sum(), (xs * ys).sum())
+
+    star = [(0, i) for i in range(1, 6)]
+    m, sx, sxx, sxy = moments(star)
+    r = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert math.isclose(r, -1.0)
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    cm, csx, csxx, _ = moments(cyc)
+    assert cm * csxx - csx * csx == 0  # zero degree variance → r undefined
+
+    # and the distributed moment path agrees on the star
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in star], pa.int64()),
+        "dst": pa.array([b for _, b in star], pa.int64()),
+        "w": pa.array([1.0] * len(star)),
+    }))
+    simple = distinct(edges.map_batches(_canonical, batch_format="pyarrow"),
+                      ["a", "b"], num_buckets=4).materialize()
+
+    def _endpoints(t):
+        v = pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
+                              t["b"].combine_chunks().cast(pa.int64())])
+        return pa.table({"vid": v})
+
+    degrees = group_count(simple.map_batches(_endpoints,
+                                             batch_format="pyarrow"),
+                          ["vid"], alias="d", num_buckets=4)
+
+    def _orient(t):
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"x": pa.concat_arrays([a, b]),
+                         "y": pa.concat_arrays([b, a])})
+
+    arcs = simple.map_batches(_orient, batch_format="pyarrow")
+    j1 = bucketed_join(arcs, degrees, left_on=["x"], right_on=["vid"],
+                       num_buckets=4)
+    j1 = j1.map_batches(lambda t: t.rename_columns(
+        [{"d": "dx"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    j2 = bucketed_join(j1, degrees, left_on=["y"], right_on=["vid"],
+                       num_buckets=4).to_pandas()
+    dx, dy = j2["dx"].to_numpy(), j2["d"].to_numpy()
+    assert len(dx) == 10 and dx.sum() == sx
+    assert (dx * dx).sum() == sxx and (dx * dy).sum() == sxy
