@@ -1413,6 +1413,28 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 
         return pipelines.clustering_coefficient(sf_dir)
 
+    def dedup_longest(sf_dir):
+        # normalization dedup with the keep-longest policy: fingerprint
+        # the digit-masked text, survive the longest raw text (tie: min
+        # doc_id)
+        from pregel_ray.ops.dedup import dedup_exact
+
+        d = _read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+        def _norm(t):
+            import pyarrow as _pa
+            import pyarrow.compute as _pcc
+
+            return t.append_column(
+                "norm",
+                _pcc.replace_substring_regex(t["text"], "[0-9]+", "#"),
+            )
+
+        out = dedup_exact(d.map_batches(_norm, batch_format="pyarrow"),
+                          keep="longest", key_col="norm")
+        return out.select_columns(["doc_id", "text"])
+
     def assort(sf_dir):
         # exact integer moments of endpoint degrees; r derives exactly
         from pregel_ray import pipelines
@@ -1517,6 +1539,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "x_doc_length_outliers": outliers,
         "x_graph_clustering_coeff": cluco,
         "x_graph_assortativity_moments": assort,
+        "x_doc_dedup_norm_longest": dedup_longest,
         "x_events_user_types_distinct": cdist,
         "x_events_value_lag": lag,
         "x_doc_langsource_intersect": isect,
@@ -1750,6 +1773,18 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST((2 * COALESCE(pv.triangles, 0) * 1000000)
                         // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
             FROM deg LEFT JOIN pv USING (name) WHERE deg.d >= 2""",
+        # normalization dedup, keep-longest survivor per digit-masked
+        # fingerprint group (tie: min doc_id)
+        "x_doc_dedup_norm_longest": """
+            WITH n AS (SELECT doc_id, text,
+                              regexp_replace(text, '[0-9]+', '#', 'g')
+                                  AS norm
+                       FROM documents),
+                 r AS (SELECT doc_id, text,
+                              ROW_NUMBER() OVER (PARTITION BY md5(norm)
+                                  ORDER BY len(text) DESC, doc_id) AS rn
+                       FROM n)
+            SELECT doc_id, text FROM r WHERE rn = 1""",
         # degree assortativity moments over both orientations of the
         # simple graph — exact integer sums, r derives downstream
         "x_graph_assortativity_moments": _triangles_cte() + """,

@@ -45,22 +45,49 @@ def exact_duplicates(docs: rd.Dataset) -> rd.Dataset:
     return grouped_apply(docs.map_batches(_fp, batch_format="pyarrow"), ["fp"], _groups)
 
 
-def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
-    """The deduplicated document set (first-of-group survivors). Bucketed
-    finale (agg.grouped_apply): `fp` is one key per distinct doc — the
-    high-cardinality regime where groupby(fp).map_groups costs one Python
-    call per distinct document (agg.py header)."""
+def dedup_exact(
+    docs: rd.Dataset, keep: str = "first", key_col: str = "text"
+) -> rd.Dataset:
+    """The deduplicated document set. ``key_col`` is the fingerprint
+    basis (default the raw text; pass a pre-normalized column —
+    lowercased, digit-masked, whitespace-collapsed — for normalization
+    dedup). ``keep`` picks the canonical survivor per group:
+    ``"first"`` = min doc_id (the default; stable across reruns),
+    ``"longest"`` = max RAW-text length with min-doc_id tiebreak (the
+    curation policy when near-identical scrapes differ by truncation —
+    meaningful exactly when ``key_col`` is normalized, since
+    byte-identical raw groups tie on length).
+    Bucketed finale (agg.grouped_apply): `fp` is one key per distinct
+    doc — the high-cardinality regime where groupby(fp).map_groups costs
+    one Python call per distinct document (agg.py header)."""
     from ..agg import grouped_apply
 
-    def _fp(t: pa.Table) -> pa.Table:
-        fp = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
-        return t.append_column("fp", pa.array(fp))
+    if keep not in ("first", "longest"):
+        raise ValueError(f"keep must be 'first' or 'longest', got {keep!r}")
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized first-of-group within the bucket: one sort + drop_dups
+    def _fp(t: pa.Table) -> pa.Table:
+        fp = [
+            hashlib.md5(x.encode()).hexdigest()
+            for x in t[key_col].to_pylist()
+        ]
+        t = t.append_column("fp", pa.array(fp))
+        if keep == "longest":
+            t = t.append_column(
+                "_len", pc.utf8_length(t["text"]).cast(pa.int64())
+            )
+        return t
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized survivor-of-group within the bucket: one sort +
+        # drop_duplicates (keeps the first row of each fp under the
+        # policy's total order)
+        if keep == "longest":
+            g = g.sort_values(["_len", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+            return g.drop_duplicates("fp").drop(columns="_len")
         return g.sort_values("doc_id", kind="mergesort").drop_duplicates("fp")
 
-    return grouped_apply(docs.map_batches(_fp, batch_format="pyarrow"), ["fp"], _first)
+    return grouped_apply(docs.map_batches(_fp, batch_format="pyarrow"), ["fp"], _pick)
 
 
 # -- shingles / MinHash -----------------------------------------------------

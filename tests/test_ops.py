@@ -1340,3 +1340,49 @@ def test_assortativity_moments_star_vs_cycle(ray_session):
     dx, dy = j2["dx"].to_numpy(), j2["d"].to_numpy()
     assert len(dx) == 10 and dx.sum() == sx
     assert (dx * dx).sum() == sxx and (dx * dy).sum() == sxy
+
+
+def test_dedup_exact_keep_longest(ray_session):
+    """Planted truncation pairs share a normalized fingerprint; the
+    longest raw text survives (tie: min doc_id); default path unchanged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pregel_ray.ops.dedup import dedup_exact
+
+    texts = {
+        0: "order 123 shipped to depot 9",
+        1: "order 777 shipped to depot 5",     # same masked text as 0
+        2: "order 123 shipped to depot 9 today extra words",  # longer variant? no: different masked
+        3: "hello world",
+        4: "hello world",                       # byte-identical with 3
+    }
+    # make 2 actually share 0/1's mask but longer: digits differ, suffix adds words -> different mask; craft explicitly
+    texts[2] = "order 1234567 shipped to depot 88"  # masks to same as 0/1, longer raw
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+    })
+
+    def _norm(tb):
+        import pyarrow.compute as _pcc
+
+        return tb.append_column(
+            "norm", _pcc.replace_substring_regex(tb["text"], "[0-9]+", "#"))
+
+    ds = rd.from_arrow(t).repartition(3).map_batches(
+        _norm, batch_format="pyarrow")
+    got = dedup_exact(ds, keep="longest", key_col="norm").to_pandas()
+    ids = set(got["doc_id"])
+    # masked group {0,1,2}: 2 is longest (`1234567`,`88` raw) → survives
+    assert 2 in ids and 0 not in ids and 1 not in ids
+    # byte-identical group {3,4}: equal length → min doc_id
+    assert 3 in ids and 4 not in ids
+
+    # default path: first-of-group on raw text
+    base = rd.from_arrow(t)
+    d0 = dedup_exact(base).to_pandas()
+    assert set(d0["doc_id"]) == {0, 1, 2, 3}
+
+    with pytest.raises(ValueError):
+        dedup_exact(base, keep="newest")
